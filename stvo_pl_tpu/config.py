@@ -1,0 +1,179 @@
+"""Frozen, hashable VO configuration.
+
+The reference keeps a process-wide mutable singleton with ~50 tunables read
+through static accessors at every use site (reference `src/config.cpp:36-113`,
+`include/config.h:34-105`).  Under XLA everything inside `jit` is traced once,
+so instead we freeze the configuration into an immutable dataclass that is
+passed as a *static* argument: every parameter becomes a compile-time constant
+and XLA constant-folds all gates (has_points/has_lines, thresholds, budgets).
+
+Defaults replicate the reference defaults at `src/config.cpp:36-113`.
+YAML override-with-fallback mirrors `Config::loadFromFile`
+(`src/config.cpp:123-206`): unknown keys are ignored, missing keys keep
+defaults.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Any, Mapping
+
+
+@dataclass(frozen=True)
+class VOConfig:
+    # ---- keyframe decision (SLAM hooks) --------------------------------
+    min_entropy_ratio: float = 0.85
+    max_kf_t_dist: float = 5.0
+    max_kf_r_dist: float = 15.0
+
+    # ---- StVO-PL options ----------------------------------------------
+    has_points: bool = True
+    has_lines: bool = True
+    use_fld_lines: bool = False      # alt line-detector path (kept for parity)
+    # lr_in_parallel / pl_in_parallel: the reference forks std::async tasks
+    # (src/stereoFrame.cpp:62-92).  Here L/R are a batch axis and points/lines
+    # are independent subgraphs of one XLA program, so the flags are moot; we
+    # keep them for config-file compatibility but they change nothing.
+    lr_in_parallel: bool = True
+    pl_in_parallel: bool = True
+    best_lr_matches: bool = True     # mutual-consistency check in matching
+    adaptative_fast: bool = True     # adaptive FAST threshold controller
+    use_motion_model: bool = False   # constant-velocity motion prior
+
+    # ---- tracking: point features -------------------------------------
+    max_dist_epip: float = 1.0       # max epipolar distance [px]
+    min_disp: float = 1.0            # min disparity
+    min_ratio_12_p: float = 0.9      # NN ratio test for points
+
+    # ---- tracking: line features --------------------------------------
+    line_sim_th: float = 0.75        # cosine direction-similarity threshold
+    stereo_overlap_th: float = 0.75
+    f2f_overlap_th: float = 0.75
+    min_line_length: float = 0.025   # relative to min(img_w, img_h)
+    line_horiz_th: float = 0.1       # reject near-horizontal lines [px]
+    min_ratio_12_l: float = 0.9      # NN ratio test for lines
+    ls_min_disp_ratio: float = 0.7   # min(disp_s,disp_e)/max(...) consistency
+
+    # ---- adaptive FAST ------------------------------------------------
+    fast_min_th: int = 5
+    fast_max_th: int = 50
+    fast_inc_th: int = 5
+    fast_feat_th: int = 50
+    fast_err_th: float = 0.5
+
+    # ---- rgbd ---------------------------------------------------------
+    rgbd_min_depth: float = 0.3
+    rgbd_max_depth: float = 10.0
+
+    # ---- optimization -------------------------------------------------
+    homog_th: float = 1e-7
+    min_features: int = 10
+    max_iters: int = 5
+    max_iters_ref: int = 10
+    min_error: float = 1e-7
+    min_error_change: float = 1e-7
+    inlier_k: float = 4.0
+    # solver mode: 0 = GN, 1 = robust GN (MAD-scaled Cauchy), 2 = LM
+    # (hardcoded `mode` at reference src/stereoFrameHandler.cpp:329)
+    optim_mode: int = 0
+    # robust kernel: "cauchy" (reference default) | "tukey" | "huber" |
+    # "welsch" | "parabola" (variants kept commented in src/auxiliar.cpp:556-583)
+    robust_kernel: str = "cauchy"
+
+    # ---- matching windows ---------------------------------------------
+    matching_strategy: int = 0
+    matching_s_ws: int = 10          # stereo search window [grid cells]
+    matching_f2f_ws: int = 3         # f2f search window [grid cells]
+
+    # ---- ORB-equivalent point detector --------------------------------
+    orb_nfeatures: int = 1200
+    orb_scale_factor: float = 1.2
+    orb_nlevels: int = 4
+    orb_edge_th: int = 19
+    orb_wta_k: int = 2
+    orb_score: int = 1               # 0 = Harris, 1 = FAST score
+    orb_patch_size: int = 31
+    orb_fast_th: int = 20
+
+    # ---- LSD-equivalent line detector ---------------------------------
+    lsd_nfeatures: int = 300
+    lsd_refine: int = 0
+    lsd_scale: float = 1.2
+    lsd_sigma_scale: float = 0.6
+    lsd_quant: float = 2.0
+    lsd_ang_th: float = 22.5         # gradient angle tolerance [deg]
+    lsd_log_eps: float = 1.0
+    lsd_density_th: float = 0.6
+    lsd_n_bins: int = 1024
+
+    # ---- TPU-native additions -----------------------------------------
+    # spatial grid (reference GRID_ROWS/GRID_COLS, include/stereoFrame.h:51-52)
+    grid_rows: int = 48
+    grid_cols: int = 64
+    # number of discrete line orientations scanned by the dense detector
+    lsd_n_dirs: int = 12
+    # compute dtype for the geometry/optimizer path ("float32" on TPU;
+    # "float64" available on CPU for parity studies)
+    dtype: str = "float32"
+    # use the MXU (+/-1 matmul) Hamming kernel instead of XOR+popcount
+    hamming_use_mxu: bool = True
+
+    # ------------------------------------------------------------------
+    def replace(self, **kw: Any) -> "VOConfig":
+        return dataclasses.replace(self, **kw)
+
+    @property
+    def point_capacity(self) -> int:
+        """Static per-image feature capacity for points."""
+        return self.orb_nfeatures
+
+    @property
+    def line_capacity(self) -> int:
+        """Static per-image feature capacity for line segments."""
+        return self.lsd_nfeatures if self.lsd_nfeatures > 0 else 512
+
+
+_FIELD_NAMES = {f.name for f in dataclasses.fields(VOConfig)}
+
+
+def config_from_mapping(mapping: Mapping[str, Any],
+                        base: VOConfig | None = None) -> VOConfig:
+    """Build a VOConfig from a dict, ignoring unknown keys (safe-load
+    semantics of reference `loadSafe`, src/config.cpp:123-130)."""
+    base = base or VOConfig()
+    known = {k: v for k, v in mapping.items() if k in _FIELD_NAMES}
+    # coerce to the declared field types so YAML "1" / "1.0" round-trip
+    coerced = {}
+    types = {f.name: f.type for f in dataclasses.fields(VOConfig)}
+    for k, v in known.items():
+        t = types[k]
+        if t in ("int", int):
+            coerced[k] = int(v)
+        elif t in ("float", float):
+            coerced[k] = float(v)
+        elif t in ("bool", bool):
+            coerced[k] = bool(v)
+        else:
+            coerced[k] = v
+    return base.replace(**coerced)
+
+
+def load_config(path: str | None, base: VOConfig | None = None) -> VOConfig:
+    """Load a YAML config file with per-key fallback to defaults.
+
+    Mirrors reference Config::loadFromFile (src/config.cpp:132-206): an
+    invalid/missing file keeps defaults rather than erroring.
+    """
+    base = base or VOConfig()
+    if path is None:
+        return base
+    try:
+        import yaml
+        with open(path, "r") as f:
+            data = yaml.safe_load(f) or {}
+    except (OSError, ValueError):
+        return base
+    if not isinstance(data, dict):
+        return base
+    return config_from_mapping(data, base)

@@ -1,0 +1,134 @@
+"""FAST corner detection as a dense, branch-free score map.
+
+Replaces cv::ORB's FAST stage (consumed by the reference at
+src/stereoFrame.cpp:112-115).  The segment test — 9 contiguous pixels on the
+16-pixel Bresenham circle all brighter/darker than center +/- t — becomes a
+stack of 16 shifted images and windowed min/max reductions that the VPU eats
+whole; the "score" is the exact FAST corner response (the largest threshold
+at which the pixel remains a corner), so NMS and ranking match OpenCV's
+semantics without any per-pixel branching.
+
+Selection returns fixed-capacity keypoint arrays with validity masks
+(top-K over a spatially-uniform per-cell maximum).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from stvo_pl_tpu.ops.image import maxpool3
+
+# 16-pixel Bresenham circle of radius 3, in contiguous angular order: (dy, dx)
+CIRCLE = np.array([
+    (-3, 0), (-3, 1), (-2, 2), (-1, 3), (0, 3), (1, 3), (2, 2), (3, 1),
+    (3, 0), (3, -1), (2, -2), (1, -3), (0, -3), (-1, -3), (-2, -2), (-3, -1),
+], dtype=np.int32)
+
+ARC = 9  # contiguous arc length for FAST-9/16
+
+
+class Keypoints(NamedTuple):
+    """Fixed-capacity keypoint set (one pyramid level, one image)."""
+    uv: jnp.ndarray      # [K, 2] float32, level-0 pixel coords
+    score: jnp.ndarray   # [K] float32
+    level: jnp.ndarray   # [K] int32
+    valid: jnp.ndarray   # [K] bool
+
+
+def fast_score(img: jnp.ndarray, threshold: jnp.ndarray) -> jnp.ndarray:
+    """FAST-9/16 corner response, batched over leading dims of [..., H, W].
+
+    Returns a score map that is 0 for non-corners and the corner response
+    (max threshold preserving cornerness) elsewhere.  `threshold` may be a
+    traced scalar — the adaptive-FAST controller
+    (src/stereoFrameHandler.cpp:66-86) feeds it through `lax.scan` state.
+    """
+    # 16 circle values via roll (borders are masked off by callers)
+    shifted = jnp.stack(
+        [jnp.roll(img, (-int(dy), -int(dx)), axis=(-2, -1))
+         for dy, dx in CIRCLE], axis=0)               # [16, ..., H, W]
+    diff = shifted - img[None]
+
+    # min over every contiguous 9-window (circular): bright arcs need
+    # min(diff) > t, dark arcs need max(diff) < -t.
+    wrap = jnp.concatenate([diff, diff[:ARC - 1]], axis=0)  # [24, ...]
+    # windowed min/max via explicit unrolled reduction (16 windows x 9 taps,
+    # XLA fuses the elementwise tree)
+    win_min = jnp.stack(
+        [jnp.min(wrap[s:s + ARC], axis=0) for s in range(16)], axis=0)
+    win_max = jnp.stack(
+        [jnp.max(wrap[s:s + ARC], axis=0) for s in range(16)], axis=0)
+
+    bright_resp = jnp.max(win_min, axis=0)    # > t  => bright corner
+    dark_resp = -jnp.min(win_max, axis=0)     # > t  => dark corner
+    resp = jnp.maximum(bright_resp, dark_resp)
+    return jnp.where(resp > threshold, resp, 0.0)
+
+
+def _border_mask(shape, edge: int, dtype) -> jnp.ndarray:
+    H, W = shape
+    y = jnp.arange(H)[:, None]
+    x = jnp.arange(W)[None, :]
+    m = (y >= edge) & (y < H - edge) & (x >= edge) & (x < W - edge)
+    return m.astype(dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("capacity", "edge", "cell"))
+def select_keypoints(score: jnp.ndarray, capacity: int, edge: int = 16,
+                     cell: int = 4) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """NMS + spatially-uniform top-K from a score map.
+
+    Returns (uv [K,2] float32, score [K] float32, valid [K] bool).
+    `cell` > 1 keeps only the best corner in each cell x cell tile before the
+    global top-K — the static-shape analogue of ORB's quadtree retention.
+    """
+    H, W = score.shape
+    score = score * _border_mask((H, W), edge, score.dtype)
+    # 3x3 non-maximum suppression (ties broken toward top-left lexicographic
+    # position by a tiny index-dependent epsilon so NMS picks one of a plateau)
+    eps = (jnp.arange(H * W, dtype=score.dtype).reshape(H, W)
+           * jnp.asarray(1e-7, score.dtype))
+    s = jnp.where(score > 0, score - eps, 0.0)
+    keep = (s >= maxpool3(s)) & (score > 0)
+    s = jnp.where(keep, s, 0.0)
+
+    if cell > 1:
+        # best per cell: pad to multiple, reduce, recover flat argmax index
+        Hp = -(-H // cell) * cell
+        Wp = -(-W // cell) * cell
+        sp = jnp.pad(s, ((0, Hp - H), (0, Wp - W)))
+        tiles = sp.reshape(Hp // cell, cell, Wp // cell, cell)
+        tiles = tiles.transpose(0, 2, 1, 3).reshape(Hp // cell, Wp // cell, -1)
+        best = jnp.max(tiles, axis=-1)
+        arg = jnp.argmax(tiles, axis=-1).astype(jnp.int32)
+        cy = arg // cell
+        cx = arg % cell
+        gy = (jnp.arange(Hp // cell, dtype=jnp.int32)[:, None] * cell + cy)
+        gx = (jnp.arange(Wp // cell, dtype=jnp.int32)[None, :] * cell + cx)
+        flat_scores = best.reshape(-1)
+        flat_idx = (gy * Wp + gx).reshape(-1)  # note: Wp-based index
+        k = min(capacity, flat_scores.shape[0])
+        top, pos = jax.lax.top_k(flat_scores, k)
+        idx = flat_idx[pos]
+        ys = (idx // Wp).astype(jnp.float32)
+        xs = (idx % Wp).astype(jnp.float32)
+    else:
+        flat = s.reshape(-1)
+        k = min(capacity, flat.shape[0])
+        top, idx = jax.lax.top_k(flat, k)
+        ys = (idx // W).astype(jnp.float32)
+        xs = (idx % W).astype(jnp.float32)
+
+    valid = top > 0
+    uv = jnp.stack([xs, ys], axis=-1)
+    if k < capacity:  # pad to static capacity
+        pad = capacity - k
+        uv = jnp.concatenate([uv, jnp.zeros((pad, 2), uv.dtype)], axis=0)
+        top = jnp.concatenate([top, jnp.zeros((pad,), top.dtype)], axis=0)
+        valid = jnp.concatenate([valid, jnp.zeros((pad,), bool)], axis=0)
+    return uv, top, valid

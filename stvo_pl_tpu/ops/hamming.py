@@ -1,0 +1,113 @@
+"""Batched Hamming-distance matrices for 256-bit binary descriptors.
+
+The reference computes Hamming distances one pair at a time with a popcount
+bit-hack inside nested matching loops (`src/matching.cpp:93-109`) or via
+cv::BFMatcher knnMatch (:47-48).  At the reference's feature budgets
+(<=2000 points, <=300 lines) the full N x M distance matrix is tiny, so the
+TPU-native design computes it densely and lets top-2 / mutual checks become
+argmin reductions.
+
+Two device kernels:
+
+  * `hamming_matrix_mxu` — the speed-of-light path: unpack bits to +/-1
+    bf16 and use ONE matmul on the MXU:  d(a, b) = (256 - <a_pm, b_pm>) / 2.
+    Exact (dot products are integers, accumulated in f32).
+  * `hamming_matrix_pallas` — XOR + popcount on the VPU, tiled; used when
+    the MXU path is unavailable and as a cross-check.
+
+Plus a plain-XLA fallback (`hamming_matrix_xla`) for interpretability and
+CPU tests.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+DESC_WORDS = 8   # 8 x uint32 = 256 bits (reference descriptor width)
+DESC_BITS = 32 * DESC_WORDS
+
+
+def unpack_bits_pm1(desc: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:
+    """[N, 8] uint32 -> [N, 256] in {-1, +1}."""
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    bits = (desc[..., :, None] >> shifts[None, :]) & jnp.uint32(1)
+    bits = bits.reshape(desc.shape[:-1] + (DESC_BITS,))
+    return (2.0 * bits.astype(jnp.float32) - 1.0).astype(dtype)
+
+
+def hamming_matrix_mxu(desc1: jnp.ndarray, desc2: jnp.ndarray) -> jnp.ndarray:
+    """[N, 8] x [M, 8] uint32 -> [N, M] int32 Hamming distances via MXU."""
+    a = unpack_bits_pm1(desc1)
+    b = unpack_bits_pm1(desc2)
+    dot = jax.lax.dot_general(
+        a, b, (((a.ndim - 1,), (b.ndim - 1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    return ((DESC_BITS - dot) * 0.5).astype(jnp.int32)
+
+
+def _popcount_u32(v: jnp.ndarray) -> jnp.ndarray:
+    """Bit-parallel popcount on uint32 lanes (same bit-hack family as
+    reference src/matching.cpp:101-106)."""
+    v = v - ((v >> 1) & jnp.uint32(0x55555555))
+    v = (v & jnp.uint32(0x33333333)) + ((v >> 2) & jnp.uint32(0x33333333))
+    v = (v + (v >> 4)) & jnp.uint32(0x0F0F0F0F)
+    return ((v * jnp.uint32(0x01010101)) >> 24).astype(jnp.int32)
+
+
+def hamming_matrix_xla(desc1: jnp.ndarray, desc2: jnp.ndarray) -> jnp.ndarray:
+    """Plain-XLA XOR+popcount; loops over the 8 words to avoid a [N,M,8]
+    intermediate."""
+    total = jnp.zeros((desc1.shape[0], desc2.shape[0]), jnp.int32)
+    for w in range(DESC_WORDS):
+        x = desc1[:, None, w] ^ desc2[None, :, w]
+        total = total + _popcount_u32(x)
+    return total
+
+
+def _hamming_kernel(d1_ref, d2_ref, out_ref):
+    """Pallas tile kernel: [TN, 8] x [TM, 8] -> [TN, TM]."""
+    acc = jnp.zeros(out_ref.shape, jnp.int32)
+    for w in range(DESC_WORDS):
+        a = d1_ref[:, w][:, None]
+        b = d2_ref[:, w][None, :]
+        acc = acc + _popcount_u32(a ^ b)
+    out_ref[:, :] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("tile_n", "tile_m"))
+def hamming_matrix_pallas(desc1: jnp.ndarray, desc2: jnp.ndarray,
+                          tile_n: int = 256, tile_m: int = 256) -> jnp.ndarray:
+    """Tiled Pallas XOR+popcount kernel (requires N, M multiples of tile)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    N, M = desc1.shape[0], desc2.shape[0]
+    tile_n = min(tile_n, N)
+    tile_m = min(tile_m, M)
+    assert N % tile_n == 0 and M % tile_m == 0
+
+    grid = (N // tile_n, M // tile_m)
+    return pl.pallas_call(
+        _hamming_kernel,
+        out_shape=jax.ShapeDtypeStruct((N, M), jnp.int32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_n, DESC_WORDS), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_m, DESC_WORDS), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_n, tile_m), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+    )(desc1, desc2)
+
+
+def hamming_matrix(desc1: jnp.ndarray, desc2: jnp.ndarray,
+                   use_mxu: bool = True) -> jnp.ndarray:
+    """Default entry point: MXU matmul formulation, else plain XLA."""
+    if use_mxu:
+        return hamming_matrix_mxu(desc1, desc2)
+    return hamming_matrix_xla(desc1, desc2)

@@ -1,0 +1,136 @@
+"""Dense masked correspondence search.
+
+The reference matches features with (a) brute-force kNN + nearest-neighbor
+ratio + optional mutual check (`match`/`matchNNR`, src/matching.cpp:41-91)
+and (b) grid-windowed candidate search (`matchGrid`, src/matching.cpp:111-258
+over the 48x64 bucket grid of src/gridStructure.cpp).
+
+TPU-native redesign: feature sets have static capacity with validity masks,
+so every matcher is one dense distance matrix + candidate mask + top-2 and
+argmin reductions — no buckets, no hash sets, no dynamic candidate lists.
+The grid window survives as a *predicate on grid-cell coordinates*
+(reference window semantics: x in [cx - w, cx], same row —
+src/gridStructure.cpp:64-76 with GridWindow{(ws,0),(0,0)} from
+src/stereoFrame.cpp:141-143).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+BIG = jnp.int32(2 ** 30)
+
+
+class MatchResult(NamedTuple):
+    idx: jnp.ndarray    # [N] int32 index into set 2, -1 = unmatched
+    valid: jnp.ndarray  # [N] bool
+
+
+def nnr_mutual_match(dist: jnp.ndarray, cand: jnp.ndarray, nnr: float,
+                     mutual: bool = True) -> MatchResult:
+    """Nearest-neighbor-ratio + mutual-consistency matching on a masked
+    distance matrix.
+
+    dist: [N, M] (any numeric dtype); cand: [N, M] bool candidate mask.
+    Matches reference semantics: best < second_best * nnr
+    (src/matching.cpp:54,160) and matches_21[i2] == i1 mutual filter
+    (src/matching.cpp:80-86, :166-174).
+    """
+    big = jnp.asarray(BIG, dist.dtype)
+    d = jnp.where(cand, dist, big)
+
+    best_idx = jnp.argmin(d, axis=1).astype(jnp.int32)
+    best = jnp.min(d, axis=1)
+    # second best: mask out the best column per row
+    cols = jnp.arange(d.shape[1], dtype=jnp.int32)
+    d2 = jnp.where(cols[None, :] == best_idx[:, None], big, d)
+    second = jnp.min(d2, axis=1)
+
+    ok = (best < big) & (best.astype(jnp.float32)
+                         < second.astype(jnp.float32) * nnr)
+
+    if mutual:
+        # column argmin must point back at the row
+        best_row_for_col = jnp.argmin(d, axis=0).astype(jnp.int32)
+        rows = jnp.arange(d.shape[0], dtype=jnp.int32)
+        ok = ok & (best_row_for_col[best_idx] == rows)
+
+    idx = jnp.where(ok, best_idx, -1)
+    return MatchResult(idx=idx, valid=ok)
+
+
+def grid_cell(uv: jnp.ndarray, inv_w: float, inv_h: float) -> jnp.ndarray:
+    """Pixel coords -> integer grid-cell coords (reference fills the grid with
+    kp.pt * inv_width/inv_height truncated to int, src/stereoFrame.cpp:132-138)."""
+    cx = jnp.floor(uv[..., 0] * inv_w).astype(jnp.int32)
+    cy = jnp.floor(uv[..., 1] * inv_h).astype(jnp.int32)
+    return jnp.stack([cx, cy], axis=-1)
+
+
+def stereo_point_window_mask(uv_l: jnp.ndarray, uv_r: jnp.ndarray,
+                             inv_w: float, inv_h: float,
+                             ws: int) -> jnp.ndarray:
+    """[N,2] x [M,2] -> [N,M] candidate mask for stereo point matching.
+
+    Reference: right features bucketed by cell, candidates gathered from
+    cells [cx - ws, cx] x {cy} (src/stereoFrame.cpp:134-146).
+    """
+    c_l = grid_cell(uv_l, inv_w, inv_h)
+    c_r = grid_cell(uv_r, inv_w, inv_h)
+    dx = c_l[:, None, 0] - c_r[None, :, 0]
+    same_row = c_l[:, None, 1] == c_r[None, :, 1]
+    return same_row & (dx >= 0) & (dx <= ws)
+
+
+def f2f_point_window_mask(uv_prev: jnp.ndarray, uv_curr: jnp.ndarray,
+                          inv_w: float, inv_h: float,
+                          ws: int) -> jnp.ndarray:
+    """Symmetric cell window for frame-to-frame tracking (matching_f2f_ws)."""
+    c_p = grid_cell(uv_prev, inv_w, inv_h)
+    c_c = grid_cell(uv_curr, inv_w, inv_h)
+    dx = jnp.abs(c_p[:, None, 0] - c_c[None, :, 0])
+    dy = jnp.abs(c_p[:, None, 1] - c_c[None, :, 1])
+    return (dx <= ws) & (dy <= ws)
+
+
+def point_seg_dist2(p: jnp.ndarray, a: jnp.ndarray,
+                    b: jnp.ndarray) -> jnp.ndarray:
+    """Squared distance from points p [N,2] to segments (a,b) [M,2] -> [N,M]."""
+    ab = b - a                                  # [M,2]
+    ap = p[:, None, :] - a[None, :, :]          # [N,M,2]
+    denom = jnp.maximum(jnp.sum(ab * ab, axis=-1), 1e-12)  # [M]
+    tt = jnp.clip(jnp.sum(ap * ab[None], axis=-1) / denom[None], 0.0, 1.0)
+    closest = a[None] + tt[..., None] * ab[None]
+    d = p[:, None, :] - closest
+    return jnp.sum(d * d, axis=-1)
+
+
+def stereo_line_window_mask(sp_l, ep_l, sp_r, ep_r, inv_w, inv_h,
+                            ws: int) -> jnp.ndarray:
+    """[Nl] left lines x [Ml] right lines -> candidate mask.
+
+    Reference rasterizes right lines into grid cells (Bresenham,
+    src/stereoFrame.cpp:335-338) and gathers candidates around BOTH left
+    endpoints' cells (src/matching.cpp:213-215).  Dense equivalent: a right
+    line is a candidate when either left endpoint lies within the window
+    radius of the right segment *in grid-cell space*.
+    """
+    scale = jnp.asarray([inv_w, inv_h], sp_l.dtype)
+    spl = sp_l * scale
+    epl = ep_l * scale
+    spr = sp_r * scale
+    epr = ep_r * scale
+    d_s = point_seg_dist2(spl, spr, epr)
+    d_e = point_seg_dist2(epl, spr, epr)
+    r2 = float((ws + 1) ** 2)
+    return (d_s <= r2) | (d_e <= r2)
+
+
+def line_direction_mask(dir1: jnp.ndarray, dir2: jnp.ndarray,
+                        sim_th: float) -> jnp.ndarray:
+    """|cos| similarity between unit line directions [N,2] x [M,2]
+    (reference direction filter, src/matching.cpp:221-222)."""
+    cos = jnp.abs(dir1 @ dir2.T)
+    return cos >= sim_th
