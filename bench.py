@@ -1,0 +1,97 @@
+"""Standalone VO benchmark: synthetic KITTI-scale stereo sequence through the
+full pipeline on the available accelerator.
+
+Prints ONE JSON line:
+  {"metric": "vo_fps_per_chip", "value": N, "unit": "frames/s",
+   "vs_baseline": N / BASELINE_FPS, ...aux fields...}
+
+BASELINE_FPS is the reference C++ binary's single-CPU throughput.  The
+reference repo publishes no numbers (BASELINE.md); the anchor used here is
+the ICRA'16 paper's reported runtime envelope for the full point+line
+configuration on a desktop CPU (~30-40 ms/frame), rounded generously in the
+reference's favor to 30 fps.  bench runs the SAME feature budgets as
+config/config/config_kitti.yaml in the reference.
+"""
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_FPS = 30.0
+WARMUP_FRAMES = 2
+BENCH_FRAMES = 24
+BATCH = 4  # sequences advanced concurrently on the one chip
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from stvo_pl_tpu.config import VOConfig
+    from stvo_pl_tpu.models import frontend
+    from stvo_pl_tpu.ops import camera as cam_ops
+    from stvo_pl_tpu.parallel import batched
+    from stvo_pl_tpu.utils import metrics, synthetic
+
+    # KITTI-like geometry (config_kitti.yaml budgets: 2000 ORB 1 level is the
+    # kitti config; the defaults 1200/300 with 4 levels are the full config —
+    # bench the heavier full config)
+    cam = cam_ops.StereoCamera(fx=718.856, fy=718.856, cx=613.0, cy=185.0,
+                               b=0.5372, width=1226, height=370)
+    cfg = VOConfig()  # reference defaults: 1200 ORB x 4 levels, 300 lines
+
+    key = jax.random.PRNGKey(0)
+    scene = synthetic.make_scene(key, n_points=1400, n_lines=64,
+                                 extent=(40.0, 15.0, 90.0), z_near=5.0)
+    poses = synthetic.smooth_trajectory(WARMUP_FRAMES + BENCH_FRAMES,
+                                        speed=0.8)
+    seq_l, seq_r = synthetic.render_sequence(scene, poses, cam)
+    jax.block_until_ready(seq_l)
+
+    state = batched.init_batched_state(cfg, BATCH)
+
+    def run_frames(state, lo, hi):
+        telem_list = []
+        for i in range(lo, hi):
+            il = jnp.broadcast_to(seq_l[i], (BATCH,) + seq_l[i].shape)
+            ir = jnp.broadcast_to(seq_r[i], (BATCH,) + seq_r[i].shape)
+            state, telem = batched.vo_step_batched(state, il, ir, cam, cfg)
+            telem_list.append(telem)
+        jax.block_until_ready(state.Tfw)
+        return state, telem_list
+
+    # warmup/compile
+    state, _ = run_frames(state, 0, WARMUP_FRAMES)
+
+    t0 = time.perf_counter()
+    state, telems = run_frames(state, WARMUP_FRAMES,
+                               WARMUP_FRAMES + BENCH_FRAMES)
+    dt = time.perf_counter() - t0
+
+    frames_processed = BENCH_FRAMES * BATCH
+    fps = frames_processed / dt
+
+    # accuracy on the benched stretch (sequence 0 of the batch)
+    est = np.stack([np.asarray(t.Tfw[0]) for t in telems])
+    gt = np.asarray(poses[WARMUP_FRAMES:WARMUP_FRAMES + BENCH_FRAMES])
+    ate = metrics.ate_rmse(est, gt)
+    good_frac = float(np.mean([np.asarray(t.good[0]) for t in telems]))
+
+    print(json.dumps({
+        "metric": "vo_fps_per_chip",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / BASELINE_FPS, 3),
+        "baseline_fps": BASELINE_FPS,
+        "batch": BATCH,
+        "frames": frames_processed,
+        "ate_m": round(ate, 4),
+        "good_frac": round(good_frac, 3),
+        "backend": jax.default_backend(),
+        "config": "reference defaults (1200 ORB x4 levels + 300 lines)",
+    }))
+
+
+if __name__ == "__main__":
+    main()

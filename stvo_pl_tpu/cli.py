@@ -1,0 +1,105 @@
+"""Dataset-driven VO runner: the reference CLI app re-imagined
+(app/imagesStVO.cpp:39-171).
+
+Usage:
+    python -m stvo_pl_tpu.cli <dataset_dir> [-c config.yaml] [-o offset]
+                              [-n n_frames] [-s step] [-t traj_out]
+                              [--plot out.png]
+
+Flags -c/-o/-n/-s mirror the reference (app/imagesStVO.cpp:148-171).  The
+dataset directory must contain dataset_params.yaml (reference schema).
+Per-frame telemetry matches the reference console output
+(app/imagesStVO.cpp:113-121): frame index, residual, processing time, FAST
+threshold, matched/inlier counts.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="stvo_pl_tpu", description="TPU-native stereo PL visual odometry")
+    ap.add_argument("dataset", help="dataset dir with dataset_params.yaml")
+    ap.add_argument("-c", "--config", default=None,
+                    help="algorithm config YAML (reference schema)")
+    ap.add_argument("-o", "--offset", type=int, default=0,
+                    help="start frame offset")
+    ap.add_argument("-n", "--nmax", type=int, default=0,
+                    help="number of frames (0 = all)")
+    ap.add_argument("-s", "--step", type=int, default=1, help="frame step")
+    ap.add_argument("-t", "--traj-out", default=None,
+                    help="write trajectory (TUM format)")
+    ap.add_argument("--kitti-out", default=None,
+                    help="write trajectory (KITTI format)")
+    ap.add_argument("--plot", default=None,
+                    help="render trajectory + stats PNG")
+    ap.add_argument("--quiet", action="store_true")
+    return ap
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+
+    import jax.numpy as jnp
+
+    from stvo_pl_tpu.config import load_config
+    from stvo_pl_tpu.models import frontend
+    from stvo_pl_tpu.utils.dataset import ImageSequence
+
+    cfg = load_config(args.config)
+    seq = ImageSequence(args.dataset, offset=args.offset, nmax=args.nmax,
+                        step=args.step)
+    cam = seq.calib.cam
+    print(f"[stvo] {len(seq)} frames, cam {cam.width}x{cam.height} "
+          f"fx={cam.fx:.1f} b={cam.b:.4f}")
+
+    state = frontend.init_state(cfg)
+    poses = []
+    stats = []
+    for i, (img_l, img_r) in enumerate(seq):
+        t0 = time.perf_counter()
+        state, telem = frontend.vo_step(
+            state, jnp.asarray(img_l), jnp.asarray(img_r), cam, cfg)
+        Tfw = np.asarray(telem.Tfw)  # sync point
+        dt_ms = (time.perf_counter() - t0) * 1e3
+        poses.append(Tfw)
+        stats.append(dict(err=float(telem.err_norm), ms=dt_ms,
+                          npt=int(telem.n_inliers_pt),
+                          nls=int(telem.n_inliers_ls),
+                          kf=bool(telem.is_kf)))
+        if not args.quiet:
+            print(f"Frame #{i:5d}  err {float(telem.err_norm):8.5f}  "
+                  f"{dt_ms:7.2f} ms  fast_th {float(telem.fast_th):4.0f}  "
+                  f"pt {int(telem.n_points):4d}({int(telem.n_inliers_pt):4d})"
+                  f"  ls {int(telem.n_lines):3d}({int(telem.n_inliers_ls):3d})"
+                  + ("  [KF]" if i and bool(telem.is_kf) else ""))
+
+    poses = np.stack(poses)
+    if args.traj_out:
+        from stvo_pl_tpu.utils.metrics import write_tum
+        write_tum(args.traj_out, poses)
+        print(f"[stvo] trajectory -> {args.traj_out}")
+    if args.kitti_out:
+        from stvo_pl_tpu.utils.metrics import write_kitti
+        write_kitti(args.kitti_out, poses)
+        print(f"[stvo] trajectory -> {args.kitti_out}")
+    if args.plot:
+        from stvo_pl_tpu.utils.visualization import plot_run
+        plot_run(args.plot, poses, stats)
+        print(f"[stvo] plot -> {args.plot}")
+
+    ms = np.array([s["ms"] for s in stats][2:])
+    if len(ms):
+        print(f"[stvo] mean {ms.mean():.2f} ms/frame "
+              f"({1e3 / ms.mean():.1f} fps) after warmup")
+    return poses
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,254 @@
+"""Per-frame stereo feature extraction: the StereoFrame pipeline
+(reference src/stereoFrame.cpp) as one fused, batched XLA program.
+
+Reference flow (src/stereoFrame.cpp:59-398): detect ORB points and LSD lines
+in L and R (4 std::async tasks), stereo-match each modality over a 48x64
+bucket grid with epipolar/disparity/overlap filters, back-project survivors.
+
+TPU-first redesign:
+  * L/R is a leading batch axis of size 2 — the fork-join parallelism of
+    the reference becomes data parallelism inside one jit;
+  * multi-level FAST detection uses static per-level budgets (geometric
+    distribution like cv::ORB), fixed-capacity keypoint arrays, masks;
+  * stereo correspondence = dense masked Hamming matrix + grid-window
+    predicate + NNR + mutual check, then vectorized epipolar/disparity
+    (points) or direction/overlap/disparity-ratio (lines) filters;
+  * back-projection of survivors happens under the same mask — no
+    compaction anywhere.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from stvo_pl_tpu.config import VOConfig
+from stvo_pl_tpu.ops import camera as cam_ops
+from stvo_pl_tpu.ops import fast as fast_ops
+from stvo_pl_tpu.ops import hamming, lbd, lsd, matching, orb
+from stvo_pl_tpu.ops.image import gaussian_blur, resize_bilinear, sobel
+from stvo_pl_tpu.models.features import (LineSet, PointSet, empty_lines,
+                                         empty_points)
+
+
+class FrameFeatures(NamedTuple):
+    """Everything the VO engine needs from one stereo pair."""
+    points: PointSet
+    lines: LineSet
+
+
+def _per_level_budgets(cfg: VOConfig) -> list[int]:
+    """Geometric feature distribution over pyramid levels (cv::ORB style):
+    n_i ~ (1/scale)^i, summing to orb_nfeatures."""
+    L = cfg.orb_nlevels
+    q = 1.0 / cfg.orb_scale_factor
+    weights = [q ** i for i in range(L)]
+    s = sum(weights)
+    budgets = [max(8, int(round(cfg.orb_nfeatures * w / s))) for w in weights]
+    # fix rounding to sum exactly
+    budgets[0] += cfg.orb_nfeatures - sum(budgets)
+    return budgets
+
+
+def detect_points_multilevel(img: jnp.ndarray, fast_th: jnp.ndarray,
+                             cfg: VOConfig):
+    """Multi-level FAST + oriented-BRIEF on one image.
+
+    Returns (uv [K,2] level-0 coords, desc [K,8], level [K], score [K],
+    valid [K]) with K = cfg.orb_nfeatures.
+
+    Mirrors detectPointFeatures (src/stereoFrame.cpp:104-118): ORB with
+    orb_nlevels / orb_scale_factor / fast threshold, features reported in
+    level-0 coordinates with their octave.
+    """
+    budgets = _per_level_budgets(cfg)
+    uvs, descs, levels, scores, valids = [], [], [], [], []
+    cur = img
+    H, W = img.shape
+    for lv in range(cfg.orb_nlevels):
+        if lv > 0:
+            s = cfg.orb_scale_factor ** lv
+            nh, nw = max(16, int(round(H / s))), max(16, int(round(W / s)))
+            cur = resize_bilinear(gaussian_blur(cur, 0.6), nh, nw)
+        score_map = fast_ops.fast_score(cur, fast_th)
+        uv, sc, v = fast_ops.select_keypoints(
+            score_map, budgets[lv], edge=cfg.orb_edge_th, cell=4)
+        blur = gaussian_blur(cur, 2.0, radius=3)
+        desc, _, _ = orb.orient_and_describe(cur, blur, uv)
+        scale = cfg.orb_scale_factor ** lv
+        uvs.append(uv * scale)
+        descs.append(desc)
+        levels.append(jnp.full((budgets[lv],), lv, jnp.int32))
+        scores.append(sc)
+        valids.append(v)
+    return (jnp.concatenate(uvs), jnp.concatenate(descs),
+            jnp.concatenate(levels), jnp.concatenate(scores),
+            jnp.concatenate(valids))
+
+
+def match_stereo_points(uv_l, desc_l, level_l, valid_l,
+                        uv_r, desc_r, valid_r,
+                        cam: cam_ops.StereoCamera, cfg: VOConfig) -> PointSet:
+    """Grid-windowed stereo matching + epipolar/disparity filters +
+    back-projection (matchStereoPoints, src/stereoFrame.cpp:120-173)."""
+    inv_w = cfg.grid_cols / float(cam.width)
+    inv_h = cfg.grid_rows / float(cam.height)
+
+    dist = hamming.hamming_matrix(desc_l, desc_r, cfg.hamming_use_mxu)
+    cand = matching.stereo_point_window_mask(uv_l, uv_r, inv_w, inv_h,
+                                             cfg.matching_s_ws)
+    cand = cand & valid_l[:, None] & valid_r[None, :]
+    res = matching.nnr_mutual_match(dist, cand, cfg.min_ratio_12_p,
+                                    mutual=cfg.best_lr_matches)
+
+    j = jnp.maximum(res.idx, 0)
+    uv_rm = uv_r[j]
+    # epipolar + min disparity (src/stereoFrame.cpp:157-160)
+    epip_ok = jnp.abs(uv_l[:, 1] - uv_rm[:, 1]) <= cfg.max_dist_epip
+    disp = uv_l[:, 0] - uv_rm[:, 0]
+    disp_ok = disp >= cfg.min_disp
+    ok = res.valid & epip_ok & disp_ok
+
+    disp_safe = jnp.where(ok, disp, 1.0)
+    P = cam_ops.back_project(cam, uv_l, disp_safe)
+    sigma2 = cfg.orb_scale_factor ** (-2.0 * level_l.astype(uv_l.dtype))
+    return PointSet(uv=uv_l, disp=jnp.where(ok, disp, 0.0), P=P,
+                    desc=desc_l, level=level_l, sigma2=sigma2, valid=ok)
+
+
+def _line_coeffs(sp: jnp.ndarray, ep: jnp.ndarray) -> jnp.ndarray:
+    """Normalized infinite-line coefficients le = (sp x ep) / |(a, b)|
+    (src/stereoFrame.cpp:356-358)."""
+    sph = jnp.concatenate([sp, jnp.ones_like(sp[..., :1])], axis=-1)
+    eph = jnp.concatenate([ep, jnp.ones_like(ep[..., :1])], axis=-1)
+    le = jnp.cross(sph, eph)
+    n = jnp.sqrt(le[..., 0] ** 2 + le[..., 1] ** 2)
+    return le / jnp.maximum(n, 1e-12)[..., None]
+
+
+def _overlap_stereo(sy_l, ey_l, sy_r, ey_r, horiz_th: float):
+    """Vertical-interval overlap ratio (lineSegmentOverlapStereo,
+    src/stereoFrame.cpp:473-508)."""
+    sln = jnp.minimum(sy_l, ey_l)
+    eln = jnp.maximum(sy_l, ey_l)
+    spn = jnp.minimum(sy_r, ey_r)
+    epn = jnp.maximum(sy_r, ey_r)
+    length = eln - spn
+    disjoint = (epn < sln) | (spn > eln)
+    contains = (epn > eln) & (spn < sln)
+    ov = jnp.where(contains, eln - sln,
+                   jnp.minimum(eln, epn) - jnp.maximum(sln, spn))
+    ov = jnp.where(disjoint, 0.0, ov)
+    ov = jnp.where(length > 0.01, ov / length, 0.0)
+    ov = jnp.minimum(ov, 1.0)
+    # near-horizontal observed lines keep overlap = 1 (reference gate)
+    return jnp.where(jnp.abs(ey_l - sy_l) > horiz_th, ov,
+                     jnp.ones_like(ov))
+
+
+def match_stereo_lines(lines_l: lsd.LineSegments, desc_l,
+                       lines_r: lsd.LineSegments, desc_r,
+                       cam: cam_ops.StereoCamera, cfg: VOConfig) -> LineSet:
+    """Stereo line matching: direction + grid proximity candidates, NNR +
+    mutual, endpoint-disparity by line intersection, overlap and disparity
+    consistency filters, endpoint back-projection
+    (matchStereoLines, src/stereoFrame.cpp:309-398)."""
+    inv_w = cfg.grid_cols / float(cam.width)
+    inv_h = cfg.grid_rows / float(cam.height)
+    dtype = lines_l.sp.dtype
+
+    dist = hamming.hamming_matrix(desc_l, desc_r, cfg.hamming_use_mxu)
+    cand = matching.stereo_line_window_mask(
+        lines_l.sp, lines_l.ep, lines_r.sp, lines_r.ep, inv_w, inv_h,
+        cfg.matching_s_ws)
+    d_l = lines_l.ep - lines_l.sp
+    d_r = lines_r.ep - lines_r.sp
+    u_l = d_l / jnp.maximum(jnp.linalg.norm(d_l, axis=-1, keepdims=True), 1e-6)
+    u_r = d_r / jnp.maximum(jnp.linalg.norm(d_r, axis=-1, keepdims=True), 1e-6)
+    cand = cand & matching.line_direction_mask(u_l, u_r, cfg.line_sim_th)
+    cand = cand & lines_l.valid[:, None] & lines_r.valid[None, :]
+    res = matching.nnr_mutual_match(dist, cand, cfg.min_ratio_12_p,
+                                    mutual=cfg.best_lr_matches)
+
+    j = jnp.maximum(res.idx, 0)
+    sp_r = lines_r.sp[j]
+    ep_r = lines_r.ep[j]
+    sp_l = lines_l.sp
+    ep_l = lines_l.ep
+
+    overlap = _overlap_stereo(sp_l[:, 1], ep_l[:, 1], sp_r[:, 1], ep_r[:, 1],
+                              cfg.line_horiz_th)
+
+    # x of the matched right line at the left endpoints' rows
+    # (src/stereoFrame.cpp:366-368)
+    dy_r = sp_r[:, 1] - ep_r[:, 1]
+    dy_safe = jnp.where(jnp.abs(dy_r) < 1e-6, 1e-6, dy_r)
+    x_at = lambda y: (sp_r[:, 0] * (y - ep_r[:, 1])
+                      + ep_r[:, 0] * (sp_r[:, 1] - y)) / dy_safe
+    disp_s = sp_l[:, 0] - x_at(sp_l[:, 1])
+    disp_e = ep_l[:, 0] - x_at(ep_l[:, 1])
+    # disparity consistency (filterLineSegmentDisparity,
+    # src/stereoFrame.cpp:405-415)
+    ratio = (jnp.minimum(disp_s, disp_e)
+             / jnp.where(jnp.maximum(disp_s, disp_e) == 0, 1e-6,
+                         jnp.maximum(disp_s, disp_e)))
+    disp_consistent = ratio >= cfg.ls_min_disp_ratio
+
+    ok = (res.valid & disp_consistent
+          & (disp_s >= cfg.min_disp) & (disp_e >= cfg.min_disp)
+          & (jnp.abs(sp_l[:, 1] - ep_l[:, 1]) > cfg.line_horiz_th)
+          & (jnp.abs(sp_r[:, 1] - ep_r[:, 1]) > cfg.line_horiz_th)
+          & (overlap > cfg.stereo_overlap_th))
+
+    ds = jnp.where(ok, disp_s, 1.0)
+    de = jnp.where(ok, disp_e, 1.0)
+    sP = cam_ops.back_project(cam, sp_l, ds)
+    eP = cam_ops.back_project(cam, ep_l, de)
+    le = _line_coeffs(sp_l, ep_l)
+    # single-octave line detection => level 0, sigma2 = 1
+    # (src/stereoFeatures.cpp:107-115 with lsd level 0)
+    return LineSet(
+        spl=sp_l, epl=ep_l,
+        sdisp=jnp.where(ok, disp_s, 0.0), edisp=jnp.where(ok, disp_e, 0.0),
+        sP=sP, eP=eP, le=le, angle=lines_l.angle,
+        desc=desc_l, level=jnp.zeros(sp_l.shape[0], jnp.int32),
+        sigma2=jnp.ones(sp_l.shape[0], dtype), valid=ok)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "cam"))
+def extract_stereo_features(img_l: jnp.ndarray, img_r: jnp.ndarray,
+                            fast_th: jnp.ndarray, min_line_length: jnp.ndarray,
+                            cam: cam_ops.StereoCamera,
+                            cfg: VOConfig) -> FrameFeatures:
+    """Full per-frame front end (extractStereoFeatures,
+    src/stereoFrame.cpp:59-75): points and lines, L and R, one XLA program."""
+    if cfg.has_points:
+        imgs = jnp.stack([img_l, img_r])
+        det = jax.vmap(lambda im: detect_points_multilevel(im, fast_th, cfg))(
+            imgs)
+        uv, desc, level, score, valid = det
+        points = match_stereo_points(
+            uv[0], desc[0], level[0], valid[0],
+            uv[1], desc[1], valid[1], cam, cfg)
+    else:
+        points = empty_points(cfg.point_capacity)
+
+    if cfg.has_lines:
+        def detect_one(im):
+            segs = lsd.detect_line_segments(
+                im, min_line_length, capacity=cfg.line_capacity,
+                n_dirs=cfg.lsd_n_dirs, ang_th_deg=cfg.lsd_ang_th,
+                quant=cfg.lsd_quant, density_th=cfg.lsd_density_th)
+            gx, gy = sobel(im)
+            _, desc_b = lbd.compute_lbd(gx, gy, segs.sp, segs.ep)
+            return segs, desc_b
+        segs_l, ldesc_l = detect_one(img_l)
+        segs_r, ldesc_r = detect_one(img_r)
+        lines = match_stereo_lines(segs_l, ldesc_l, segs_r, ldesc_r, cam, cfg)
+    else:
+        lines = empty_lines(cfg.line_capacity)
+
+    return FrameFeatures(points=points, lines=lines)

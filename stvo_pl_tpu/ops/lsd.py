@@ -332,7 +332,8 @@ def _suppress_duplicates(sp, ep, resp, valid, perp_tol: float,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "capacity", "n_dirs", "k_per_dir"))
+    "capacity", "n_dirs", "k_per_dir", "ang_th_deg", "quant", "density_th",
+    "sigma"))
 def detect_line_segments(
     img: jnp.ndarray,
     min_length: float,

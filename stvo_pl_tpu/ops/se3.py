@@ -16,9 +16,21 @@ adjoint_se3, uncTinv_se3, unccomp_se3), redesigned for XLA:
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 _SMALL = 1e-8
+
+
+def mm(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Matmul pinned to full f32 precision.
+
+    TPU f32 matmuls default to bf16 MXU passes (~3 decimal digits) — fine
+    for image kernels, fatal for pose geometry: a 4x4 chain at bf16 injects
+    ~0.1 px of projection noise per evaluation and stalls Gauss-Newton.
+    Every geometric product in the framework routes through here.
+    """
+    return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
 
 
 def skew(v: jnp.ndarray) -> jnp.ndarray:
@@ -32,25 +44,28 @@ def skew(v: jnp.ndarray) -> jnp.ndarray:
     ], axis=-2)
 
 
-def _sinc_coeffs(theta: jnp.ndarray):
-    """A = sin(t)/t, B = (1-cos(t))/t^2, C = (t-sin(t))/t^3, Taylor-safe."""
-    t2 = theta * theta
-    small = theta < 1e-4
-    # guard the denominators; the Taylor branch is used when small
-    ts = jnp.where(small, jnp.ones_like(theta), theta)
-    A = jnp.where(small, 1.0 - t2 / 6.0, jnp.sin(ts) / ts)
-    B = jnp.where(small, 0.5 - t2 / 24.0, (1.0 - jnp.cos(ts)) / (ts * ts))
+def _sinc_coeffs_from_sq(t2: jnp.ndarray):
+    """A = sin(t)/t, B = (1-cos(t))/t^2, C = (t-sin(t))/t^3 from t^2.
+
+    Taking t^2 (not t = |w|) keeps the whole expression differentiable at
+    w = 0: |w| has a NaN gradient there, t^2 = sum(w^2) does not, and the
+    where-guarded sqrt never sees the origin.
+    """
+    small = t2 < 1e-8
+    t2s = jnp.where(small, jnp.ones_like(t2), t2)
+    theta = jnp.sqrt(t2s)
+    A = jnp.where(small, 1.0 - t2 / 6.0, jnp.sin(theta) / theta)
+    B = jnp.where(small, 0.5 - t2 / 24.0, (1.0 - jnp.cos(theta)) / t2s)
     C = jnp.where(small, 1.0 / 6.0 - t2 / 120.0,
-                  (ts - jnp.sin(ts)) / (ts * ts * ts))
+                  (theta - jnp.sin(theta)) / (t2s * theta))
     return A, B, C
 
 
 def so3_exp(w: jnp.ndarray) -> jnp.ndarray:
     """[..., 3] rotation vector -> [..., 3, 3] rotation matrix."""
-    theta = jnp.linalg.norm(w, axis=-1)
-    A, B, _ = _sinc_coeffs(theta)
+    A, B, _ = _sinc_coeffs_from_sq(jnp.sum(w * w, axis=-1))
     W = skew(w)
-    W2 = W @ W
+    W2 = mm(W, W)
     I = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
     return I + A[..., None, None] * W + B[..., None, None] * W2
 
@@ -58,14 +73,13 @@ def so3_exp(w: jnp.ndarray) -> jnp.ndarray:
 def expmap_se3(x: jnp.ndarray) -> jnp.ndarray:
     """[..., 6] twist [t, w] -> [..., 4, 4] transform (src/auxiliar.cpp:124-141)."""
     t, w = x[..., :3], x[..., 3:]
-    theta = jnp.linalg.norm(w, axis=-1)
-    A, B, C = _sinc_coeffs(theta)
+    A, B, C = _sinc_coeffs_from_sq(jnp.sum(w * w, axis=-1))
     W = skew(w)
-    W2 = W @ W
+    W2 = mm(W, W)
     I = jnp.broadcast_to(jnp.eye(3, dtype=x.dtype), W.shape)
     R = I + A[..., None, None] * W + B[..., None, None] * W2
     V = I + B[..., None, None] * W + C[..., None, None] * W2
-    Vt = (V @ t[..., None])[..., 0]
+    Vt = mm(V, t[..., None])[..., 0]
     top = jnp.concatenate([R, Vt[..., None]], axis=-1)
     bottom = jnp.zeros_like(top[..., :1, :]).at[..., 0, 3].set(1.0)
     return jnp.concatenate([top, bottom], axis=-2)
@@ -80,34 +94,36 @@ def so3_log(R: jnp.ndarray) -> jnp.ndarray:
     """
     tr = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
     cos = jnp.clip((tr - 1.0) * 0.5, -1.0, 1.0)
-    theta = jnp.arccos(cos)
-    sin = jnp.sqrt(jnp.clip(1.0 - cos * cos, 0.0, 1.0))
-
-    # generic branch: w = theta * (R - R^T)^vee / (2 sin(theta))
     a = jnp.stack([
         R[..., 2, 1] - R[..., 1, 2],
         R[..., 0, 2] - R[..., 2, 0],
         R[..., 1, 0] - R[..., 0, 1],
     ], axis=-1)
+    # |(R - R^T)^vee| = 2 sin(theta) exactly, and atan2(sin, cos) is
+    # well-conditioned over the whole group (arccos(cos) loses half the
+    # digits near 0/pi; sqrt(1 - cos^2) catastrophically cancels at pi)
+    a_norm = jnp.linalg.norm(a, axis=-1)
+    sin = 0.5 * a_norm
+    theta = jnp.arctan2(sin, cos)
+
     small = theta < 1e-6
-    near_pi = sin < 1e-6
-    generic_scale = theta / jnp.where(near_pi | small, 1.0, 2.0 * sin)
+    # sin < 1e-3 AND cos < 0: axis direction from a is f32-noisy only near
+    # pi (a_norm is also tiny near theta = 0, where w = a/2 is exact)
+    near_pi = (a_norm < 2e-3) & (cos < 0.0)
+    generic_scale = theta / jnp.where(near_pi | small, 1.0, a_norm)
     w_generic = generic_scale[..., None] * a
 
-    # theta ~ pi: |w_i| from diagonal, signs from off-diagonals
-    diag = jnp.stack([R[..., 0, 0], R[..., 1, 1], R[..., 2, 2]], axis=-1)
-    axis_sq = jnp.clip((diag - cos[..., None]) / (1.0 - cos[..., None] + 1e-12),
-                       0.0, 1.0)
-    axis = jnp.sqrt(axis_sq)
-    # fix signs using the symmetric part: sign(axis_i * axis_j) = sign(R_ij + R_ji)
-    sx = jnp.where(R[..., 2, 1] - R[..., 1, 2] >= 0, 1.0, -1.0)
-    # choose the dominant component positive, infer others from products
-    s0 = jnp.sign(jnp.where(axis[..., 0] > 0.5, 1.0, sx))
-    s1 = jnp.sign(R[..., 0, 1] + R[..., 1, 0]) * s0
-    s1 = jnp.where(s1 == 0, 1.0, s1)
-    s2 = jnp.sign(R[..., 0, 2] + R[..., 2, 0]) * s0
-    s2 = jnp.where(s2 == 0, 1.0, s2)
-    w_pi = theta[..., None] * axis * jnp.stack([s0, s1, s2], axis=-1)
+    # theta ~ pi: R + I -> 2 a a^T + O(pi - theta); the largest-diagonal
+    # column of (R + I) is a well-conditioned, sign-coherent axis estimate.
+    # Recover the global sign from the antisymmetric part (a_vee ~ 2 sin * a).
+    B = R + jnp.broadcast_to(jnp.eye(3, dtype=R.dtype), R.shape)
+    diag = jnp.stack([B[..., 0, 0], B[..., 1, 1], B[..., 2, 2]], axis=-1)
+    k = jnp.argmax(diag, axis=-1)
+    col = jnp.take_along_axis(B, k[..., None, None], axis=-1)[..., 0]
+    col_norm = jnp.linalg.norm(col, axis=-1, keepdims=True)
+    axis = col / jnp.maximum(col_norm, 1e-12)
+    sign = jnp.where(jnp.sum(axis * a, axis=-1) < 0, -1.0, 1.0)
+    w_pi = (theta * sign)[..., None] * axis
 
     w = jnp.where(small[..., None], 0.5 * a,
                   jnp.where(near_pi[..., None], w_pi, w_generic))
@@ -121,7 +137,7 @@ def logmap_se3(T: jnp.ndarray) -> jnp.ndarray:
     w = so3_log(R)
     theta = jnp.linalg.norm(w, axis=-1)
     W = skew(w)
-    W2 = W @ W
+    W2 = mm(W, W)
     I = jnp.broadcast_to(jnp.eye(3, dtype=T.dtype), W.shape)
     # V^{-1} = I - W/2 + (1/theta^2 - (1+cos)/(2 theta sin)) W^2
     cos = jnp.cos(theta)
@@ -134,7 +150,7 @@ def logmap_se3(T: jnp.ndarray) -> jnp.ndarray:
         1.0 / (ts * ts) - (1.0 + cos) / (2.0 * ts * sin + 1e-30),
     )
     Vinv = I - 0.5 * W + coef[..., None, None] * W2
-    t = (Vinv @ p[..., None])[..., 0]
+    t = mm(Vinv, p[..., None])[..., 0]
     return jnp.concatenate([t, w], axis=-1)
 
 
@@ -143,7 +159,7 @@ def inverse_se3(T: jnp.ndarray) -> jnp.ndarray:
     R = T[..., :3, :3]
     t = T[..., :3, 3]
     Rt = jnp.swapaxes(R, -1, -2)
-    tinv = -(Rt @ t[..., None])[..., 0]
+    tinv = -mm(Rt, t[..., None])[..., 0]
     top = jnp.concatenate([Rt, tinv[..., None]], axis=-1)
     bottom = jnp.zeros_like(top[..., :1, :]).at[..., 0, 3].set(1.0)
     return jnp.concatenate([top, bottom], axis=-2)
@@ -153,7 +169,7 @@ def adjoint_se3(T: jnp.ndarray) -> jnp.ndarray:
     """[..., 4, 4] -> [..., 6, 6] adjoint (src/auxiliar.cpp:175-182)."""
     R = T[..., :3, :3]
     t = T[..., :3, 3]
-    tR = skew(t) @ R
+    tR = mm(skew(t), R)
     Z = jnp.zeros_like(R)
     top = jnp.concatenate([R, tR], axis=-1)
     bottom = jnp.concatenate([Z, R], axis=-1)
@@ -164,7 +180,7 @@ def uncTinv_se3(T: jnp.ndarray, covT: jnp.ndarray) -> jnp.ndarray:
     """Covariance of T^{-1}: Adj(T^{-1}) covT Adj(T^{-1})^T
     (src/auxiliar.cpp:184-190)."""
     adj = adjoint_se3(inverse_se3(T))
-    return adj @ covT @ jnp.swapaxes(adj, -1, -2)
+    return mm(mm(adj, covT), jnp.swapaxes(adj, -1, -2))
 
 
 def unccomp_se3(T1: jnp.ndarray, covT1: jnp.ndarray,
@@ -172,14 +188,14 @@ def unccomp_se3(T1: jnp.ndarray, covT1: jnp.ndarray,
     """Covariance composition for T2 = T1 * inv(Tinc)
     (src/auxiliar.cpp:192-197)."""
     adj = adjoint_se3(T1)
-    return covT1 + adj @ covTinc @ jnp.swapaxes(adj, -1, -2)
+    return covT1 + mm(mm(adj, covTinc), jnp.swapaxes(adj, -1, -2))
 
 
 def transform_points(T: jnp.ndarray, P: jnp.ndarray) -> jnp.ndarray:
     """Apply [..., 4, 4] to points [..., N, 3] -> [..., N, 3]."""
     R = T[..., :3, :3]
     t = T[..., :3, 3]
-    return P @ jnp.swapaxes(R, -1, -2) + t[..., None, :]
+    return mm(P, jnp.swapaxes(R, -1, -2)) + t[..., None, :]
 
 
 def renormalize_se3(T: jnp.ndarray) -> jnp.ndarray:

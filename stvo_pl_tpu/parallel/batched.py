@@ -1,0 +1,75 @@
+"""Multi-sequence batched VO: vmap per chip, shard_map across the mesh.
+
+This is the DP strategy of SURVEY.md §2.4: many sequences advance in
+lock-step, one VOState per sequence, the batch axis sharded over the mesh's
+data axis.  Throughput scales with chips because sequences are independent —
+the collective cost is zero on the VO path (all_gather only at telemetry
+reduction time, if requested).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from stvo_pl_tpu.config import VOConfig
+from stvo_pl_tpu.models import frontend
+from stvo_pl_tpu.ops import camera as cam_ops
+from stvo_pl_tpu.parallel.mesh import DATA_AXIS
+
+
+def init_batched_state(cfg: VOConfig, batch: int) -> frontend.VOState:
+    """[B]-batched VOState pytree."""
+    one = frontend.init_state(cfg)
+    return jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (batch,) + x.shape), one)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "cam"))
+def vo_step_batched(state, imgs_l, imgs_r, cam: cam_ops.StereoCamera,
+                    cfg: VOConfig):
+    """One step for B sequences at once: [B, H, W] stereo stacks."""
+    return jax.vmap(
+        lambda s, il, ir: frontend.vo_step(s, il, ir, cam, cfg)
+    )(state, imgs_l, imgs_r)
+
+
+def make_sharded_vo_step(mesh, cam: cam_ops.StereoCamera, cfg: VOConfig):
+    """jit-compiled batched VO step with the batch axis sharded over the
+    mesh's data axis.  Batch size must be a multiple of the data-axis size.
+    """
+    batch_sharding = NamedSharding(mesh, P(DATA_AXIS))
+
+    @jax.jit
+    def step(state, imgs_l, imgs_r):
+        # shardings propagate from the placed inputs; every per-sequence
+        # subcomputation stays local to its shard (no collectives)
+        return vo_step_batched(state, imgs_l, imgs_r, cam, cfg)
+
+    def place(state, imgs_l, imgs_r):
+        """Device_put inputs with the batch axis sharded."""
+        shard = lambda x: jax.device_put(x, batch_sharding)
+        state = jax.tree_util.tree_map(shard, state)
+        return state, shard(imgs_l), shard(imgs_r)
+
+    return step, place
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "cam"))
+def vo_scan_batched(state, seq_l, seq_r, cam: cam_ops.StereoCamera,
+                    cfg: VOConfig):
+    """Whole-sequence scan for B sequences: [B, T, H, W] -> trajectories.
+
+    scan over time outside, vmap over sequences inside, so the per-frame
+    XLA program is identical to the single-sequence one and the batch axis
+    shards cleanly."""
+    def step(s, pair):
+        il, ir = pair
+        s2, t = vo_step_batched(s, il, ir, cam, cfg)
+        return s2, t
+    seq_l_t = jnp.swapaxes(seq_l, 0, 1)  # [T, B, H, W]
+    seq_r_t = jnp.swapaxes(seq_r, 0, 1)
+    return jax.lax.scan(step, state, (seq_l_t, seq_r_t))

@@ -1,0 +1,147 @@
+"""Detectors: FAST corners and dense line segments on synthetic images,
+with cv2 as oracle where available (oracle ONLY — never in the compute path)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from stvo_pl_tpu.ops import fast as fast_ops
+from stvo_pl_tpu.ops import lsd as lsd_ops
+from stvo_pl_tpu.ops import orb as orb_ops
+
+
+def corner_image(rng, n=25, size=160):
+    """Random bright blobs on a dark background -> strong FAST corners."""
+    img = np.full((size, size), 30.0, np.float32)
+    pts = rng.uniform(20, size - 20, (n, 2))
+    for x, y in pts:
+        xi, yi = int(x), int(y)
+        img[yi - 2:yi + 3, xi - 2:xi + 3] = 200.0
+    return img, pts
+
+
+def test_fast_detects_blob_corners(rng):
+    img, pts = corner_image(rng)
+    score = fast_ops.fast_score(jnp.asarray(img), jnp.float32(20.0))
+    uv, sc, valid = fast_ops.select_keypoints(score, capacity=100, edge=8)
+    uv = np.asarray(uv)[np.asarray(valid)]
+    assert len(uv) >= len(pts) * 0.8
+    # every detection is near a planted blob (corners sit at blob corners,
+    # within ~4 px of the center)
+    d = np.linalg.norm(uv[:, None] - pts[None, :, :], axis=-1).min(1)
+    assert (d < 5.0).mean() > 0.9
+
+
+def test_fast_threshold_monotone(rng):
+    img, _ = corner_image(rng)
+    s_lo = fast_ops.fast_score(jnp.asarray(img), jnp.float32(10.0))
+    s_hi = fast_ops.fast_score(jnp.asarray(img), jnp.float32(60.0))
+    assert int((np.asarray(s_hi) > 0).sum()) <= int((np.asarray(s_lo) > 0).sum())
+
+
+def test_fast_vs_cv2_oracle(rng):
+    cv2 = pytest.importorskip("cv2")
+    img, _ = corner_image(rng, n=40)
+    det = cv2.FastFeatureDetector_create(threshold=20, nonmaxSuppression=True)
+    kps = det.detect(img.astype(np.uint8))
+    ref = np.array([k.pt for k in kps]) if kps else np.zeros((0, 2))
+    score = fast_ops.fast_score(jnp.asarray(img), jnp.float32(20.0))
+    uv, _, valid = fast_ops.select_keypoints(score, capacity=200, edge=3,
+                                             cell=1)
+    ours = np.asarray(uv)[np.asarray(valid)]
+    # recall: most cv2 corners have one of ours within 2 px
+    if len(ref):
+        d = np.linalg.norm(ref[:, None] - ours[None], axis=-1).min(1)
+        assert (d <= 2.0).mean() > 0.8, (len(ref), len(ours))
+
+
+def test_orb_descriptor_stability(rng):
+    """The descriptor of the same patch under a small shift stays close;
+    different landmarks stay far.  Landmarks carry distinct random texture
+    (identical blobs would — correctly — produce identical descriptors)."""
+    size = 200
+    img = np.full((size, size), 30.0, np.float32)
+    pts = rng.uniform(30, size - 30, (12, 2))
+    for x, y in pts:
+        xi, yi = int(x), int(y)
+        img[yi - 8:yi + 9, xi - 8:xi + 9] = rng.uniform(0, 255, (17, 17))
+    from stvo_pl_tpu.ops.image import gaussian_blur
+    imj = jnp.asarray(img)
+    # descriptor samples the blurred image, like the real pipeline
+    blur = gaussian_blur(imj, 2.0, radius=3)
+    uv = jnp.asarray(pts.astype(np.float32))
+    d1, _, _ = orb_ops.orient_and_describe(imj, blur, uv)
+    d2, _, _ = orb_ops.orient_and_describe(imj, blur, uv + 0.4)
+    from stvo_pl_tpu.ops import hamming
+    D_same = np.diagonal(np.asarray(hamming.hamming_matrix_xla(d1, d2)))
+    D_cross = np.asarray(hamming.hamming_matrix_xla(d1, d2))
+    off_diag = D_cross[~np.eye(len(pts), dtype=bool)]
+    # what matters for NNR matching is separation: the true match must be
+    # far closer than any impostor
+    assert D_same.mean() < 45, D_same
+    assert off_diag.mean() > 2.5 * max(D_same.mean(), 8.0), (
+        D_same.mean(), off_diag.mean())
+
+
+def line_image(segs, size=(120, 160)):
+    """Render bright anti-aliased segments."""
+    H, W = size
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float64)
+    img = np.full((H, W), 25.0)
+    for (x1, y1, x2, y2) in segs:
+        d = np.array([x2 - x1, y2 - y1])
+        L2 = (d ** 2).sum()
+        t = np.clip(((xx - x1) * d[0] + (yy - y1) * d[1]) / L2, 0, 1)
+        px = x1 + t * d[0]
+        py = y1 + t * d[1]
+        dist2 = (xx - px) ** 2 + (yy - py) ** 2
+        img += 170.0 * np.exp(-dist2 / (2 * 0.8 ** 2))
+    return np.clip(img, 0, 255).astype(np.float32)
+
+
+def seg_endpoint_error(found_sp, found_ep, true_seg):
+    x1, y1, x2, y2 = true_seg
+    a = np.array([x1, y1])
+    b = np.array([x2, y2])
+    d1 = np.linalg.norm(found_sp - a) + np.linalg.norm(found_ep - b)
+    d2 = np.linalg.norm(found_sp - b) + np.linalg.norm(found_ep - a)
+    return min(d1, d2) / 2.0
+
+
+def test_lsd_finds_planted_segments():
+    segs = [(20, 20, 120, 30),     # shallow
+            (30, 100, 140, 60),    # oblique
+            (80, 10, 85, 110),     # near vertical
+            (10, 60, 60, 110)]     # diagonal
+    img = line_image(segs)
+    out = lsd_ops.detect_line_segments(jnp.asarray(img), min_length=25.0,
+                                       capacity=16, n_dirs=12, k_per_dir=16)
+    sp = np.asarray(out.sp)[np.asarray(out.valid)]
+    ep = np.asarray(out.ep)[np.asarray(out.valid)]
+    assert len(sp) >= len(segs), f"found {len(sp)} segments"
+    for seg in segs:
+        errs = [seg_endpoint_error(s, e, seg) for s, e in zip(sp, ep)]
+        assert min(errs) < 6.0, (seg, min(errs))
+
+
+def test_lsd_angle_accuracy():
+    # angle accuracy drives the VO line residual; off-bin angles must be
+    # recovered by the refinement far better than the 15-deg bin spacing
+    segs = [(20, 30, 130, 62)]   # ~16.2 deg
+    img = line_image(segs)
+    out = lsd_ops.detect_line_segments(jnp.asarray(img), min_length=40.0,
+                                       capacity=8, n_dirs=12, k_per_dir=16)
+    v = np.asarray(out.valid)
+    assert v.any()
+    best = np.argmax(np.asarray(out.length) * v)
+    ang = np.degrees(float(out.angle[best])) % 180.0
+    true_ang = np.degrees(np.arctan2(32, 110)) % 180.0
+    diff = min(abs(ang - true_ang), 180 - abs(ang - true_ang))
+    assert diff < 2.0, (ang, true_ang)
+
+
+def test_lsd_empty_image():
+    img = jnp.full((100, 120), 50.0, jnp.float32)
+    out = lsd_ops.detect_line_segments(img, min_length=20.0, capacity=8,
+                                       n_dirs=8, k_per_dir=8)
+    assert not bool(np.asarray(out.valid).any())

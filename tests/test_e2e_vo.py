@@ -1,0 +1,89 @@
+"""End-to-end VO on synthetic stereo sequences with known ground truth.
+
+The framework's equivalent of running the reference CLI on a dataset
+(app/imagesStVO.cpp): render frames, run the full pipeline (detect ->
+describe -> stereo match -> f2f track -> robust GN), compare the recovered
+trajectory with the ground truth (ATE).  Small images keep the CPU suite
+tractable; bench.py runs the full-size version on TPU.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from stvo_pl_tpu.config import VOConfig
+from stvo_pl_tpu.models import frontend
+from stvo_pl_tpu.ops import camera as cam_ops
+from stvo_pl_tpu.utils import metrics, synthetic
+
+CAM = cam_ops.StereoCamera(fx=160.0, fy=160.0, cx=120.0, cy=90.0,
+                           b=0.3, width=240, height=180)
+
+CFG_SMALL = VOConfig(
+    orb_nfeatures=300, orb_nlevels=2, lsd_nfeatures=48, lsd_n_dirs=8,
+    min_features=8, fast_feat_th=20,
+)
+
+
+def make_sequence(n_frames, cfg, seed=0, speed=0.25):
+    key = jax.random.PRNGKey(seed)
+    scene = synthetic.make_scene(key, n_points=260, n_lines=24,
+                                 extent=(14.0, 8.0, 40.0), z_near=3.0)
+    poses = synthetic.smooth_trajectory(n_frames, speed=speed,
+                                        yaw_rate=0.003)
+    seq_l, seq_r = synthetic.render_sequence(scene, poses, CAM)
+    return poses, seq_l, seq_r
+
+
+@pytest.mark.parametrize("cfg", [
+    CFG_SMALL.replace(has_lines=False),          # points-only slice
+    CFG_SMALL,                                    # points + lines
+], ids=["points_only", "points_lines"])
+def test_vo_tracks_synthetic_sequence(cfg):
+    n = 8
+    poses, seq_l, seq_r = make_sequence(n, cfg)
+    state = frontend.init_state(cfg)
+    final, telem = frontend.vo_scan(state, seq_l, seq_r, CAM, cfg)
+
+    good = np.asarray(telem.good)
+    assert good[1:].mean() > 0.7, f"tracking mostly failed: {good}"
+
+    est = np.asarray(telem.Tfw)
+    gt = np.asarray(poses)
+    ate = metrics.ate_rmse(est, gt)
+    # ~0.25 m/frame motion over 8 frames => ~2 m path; demand cm-level ATE
+    assert ate < 0.1, f"ATE {ate:.3f} m"
+
+
+def test_vo_telemetry_counts(capsys):
+    cfg = CFG_SMALL.replace(has_lines=False)
+    poses, seq_l, seq_r = make_sequence(5, cfg)
+    state = frontend.init_state(cfg)
+    final, telem = frontend.vo_scan(state, seq_l, seq_r, CAM, cfg)
+    n_pt = np.asarray(telem.n_points)
+    assert (n_pt[1:] > 20).all(), n_pt  # healthy match counts after init
+    # fast threshold stays in configured bounds
+    th = np.asarray(telem.fast_th)
+    assert (th >= cfg.fast_min_th).all() and (th <= cfg.fast_max_th).all()
+
+
+def test_vo_first_frame_is_identity():
+    cfg = CFG_SMALL.replace(has_lines=False)
+    poses, seq_l, seq_r = make_sequence(2, cfg)
+    state = frontend.init_state(cfg)
+    state, t0 = frontend.vo_step(state, seq_l[0], seq_r[0], CAM, cfg)
+    np.testing.assert_array_equal(np.asarray(t0.Tfw), np.eye(4))
+    assert bool(state.initialized)
+
+
+def test_vo_coasts_on_textureless_frames():
+    """Feature starvation must not crash or corrupt the pose — the
+    reference coasts with identity increments (:383-390)."""
+    cfg = CFG_SMALL.replace(has_lines=False)
+    blank = jnp.full((4, CAM.height, CAM.width), 50.0, jnp.float32)
+    state = frontend.init_state(cfg)
+    final, telem = frontend.vo_scan(state, blank, blank, CAM, cfg)
+    assert np.isfinite(np.asarray(telem.Tfw)).all()
+    np.testing.assert_array_equal(np.asarray(telem.Tfw[-1]), np.eye(4))
+    assert not np.asarray(telem.good)[1:].any()

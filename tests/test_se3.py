@@ -28,9 +28,16 @@ def test_expmap_matches_scipy(rng):
 
 def test_exp_log_roundtrip(rng):
     x = random_twists(rng, 128, t_scale=2.0, w_scale=0.8)
-    x2 = se3.logmap_se3(se3.expmap_se3(x))
-    np.testing.assert_allclose(np.asarray(x2), np.asarray(x),
-                               rtol=1e-3, atol=2e-5)
+    # |w| can exceed pi, where log returns the equivalent wrapped twist —
+    # the invariant is exp(log(T)) == T, and twist equality where |w| < pi
+    T = se3.expmap_se3(x)
+    x2 = se3.logmap_se3(T)
+    T2 = se3.expmap_se3(x2)
+    np.testing.assert_allclose(np.asarray(T2), np.asarray(T),
+                               rtol=1e-3, atol=5e-5)
+    inside = np.linalg.norm(np.asarray(x)[:, 3:], axis=-1) < np.pi - 0.05
+    np.testing.assert_allclose(np.asarray(x2)[inside], np.asarray(x)[inside],
+                               rtol=1e-3, atol=2e-4)
 
 
 def test_exp_log_small_angles(rng):
