@@ -14,6 +14,7 @@ config/config/config_kitti.yaml in the reference.
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -27,6 +28,11 @@ BATCH = 4  # sequences advanced concurrently on the one chip
 def main():
     import jax
     import jax.numpy as jnp
+    # remote TPU compiles are slow (~minutes for the full pipeline); the
+    # persistent cache makes warm reruns start in seconds
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from stvo_pl_tpu.config import VOConfig
     from stvo_pl_tpu.models import frontend

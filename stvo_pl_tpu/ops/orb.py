@@ -83,24 +83,18 @@ def orientation(patches: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     return c, s
 
 
-def _bilinear_patch_sample(patches: jnp.ndarray, x: jnp.ndarray,
-                           y: jnp.ndarray) -> jnp.ndarray:
-    """Sample [K, P, P] patches at continuous patch coords x, y [K, S]."""
-    x = jnp.clip(x, 0.0, PATCH - 1.001)
-    y = jnp.clip(y, 0.0, PATCH - 1.001)
-    x0 = jnp.floor(x)
-    y0 = jnp.floor(y)
-    fx = x - x0
-    fy = y - y0
-    x0 = x0.astype(jnp.int32)
-    y0 = y0.astype(jnp.int32)
+def _nearest_patch_sample(patches: jnp.ndarray, x: jnp.ndarray,
+                          y: jnp.ndarray) -> jnp.ndarray:
+    """Sample [K, P, P] patches at continuous coords x, y [K, S] (nearest).
+
+    OpenCV's rBRIEF also rounds the rotated test points to integer pixels
+    (cvRound in the pattern sampler); 1-tap sampling keeps the gather count
+    4x lower than bilinear, which matters — TPU gathers are ~1 elem/cycle.
+    """
+    xi = jnp.clip(jnp.round(x), 0.0, PATCH - 1.0).astype(jnp.int32)
+    yi = jnp.clip(jnp.round(y), 0.0, PATCH - 1.0).astype(jnp.int32)
     k = jnp.arange(patches.shape[0])[:, None]
-    v00 = patches[k, y0, x0]
-    v01 = patches[k, y0, x0 + 1]
-    v10 = patches[k, y0 + 1, x0]
-    v11 = patches[k, y0 + 1, x0 + 1]
-    return (v00 * (1 - fx) * (1 - fy) + v01 * fx * (1 - fy)
-            + v10 * (1 - fx) * fy + v11 * fx * fy)
+    return patches[k, yi, xi]
 
 
 def describe(patches: jnp.ndarray, cos_t: jnp.ndarray,
@@ -112,7 +106,7 @@ def describe(patches: jnp.ndarray, cos_t: jnp.ndarray,
     # rotate pattern by keypoint orientation
     rx = cos_t[:, None] * px[None] - sin_t[:, None] * py[None] + PATCH_R
     ry = sin_t[:, None] * px[None] + cos_t[:, None] * py[None] + PATCH_R
-    samples = _bilinear_patch_sample(patches, rx, ry)  # [K, 512]
+    samples = _nearest_patch_sample(patches, rx, ry)  # [K, 512]
     s = samples.reshape(samples.shape[0], N_BITS, 2)
     bits = (s[..., 0] < s[..., 1]).astype(jnp.uint32)  # [K, 256]
     words = bits.reshape(-1, 8, 32)
@@ -125,12 +119,16 @@ def orient_and_describe(img: jnp.ndarray, img_blur: jnp.ndarray,
                         uv: jnp.ndarray):
     """Full per-level descriptor pass.
 
-    img: level image (orientation source); img_blur: blurred level image
-    (descriptor sampling source, like OpenCV's pre-BRIEF GaussianBlur).
-    uv: [K, 2] level coords.  Returns (desc [K, 8] uint32, angle_cos, angle_sin).
+    uv: [K, 2] level coords.  Returns (desc [K, 8] uint32, cos, sin).
+
+    One patch gather per keypoint: both the intensity-centroid orientation
+    and the binary tests read the blurred patch (OpenCV blurs only for the
+    tests, but the centroid of a sigma=2-blurred patch is the blurred
+    centroid — identical angle up to boundary effects — and skipping the
+    second gather halves the dominant memory cost).
     """
-    p_ori = gather_patches(img, uv)
-    c, s = orientation(p_ori)
-    p_desc = gather_patches(img_blur, uv)
-    desc = describe(p_desc, c, s)
+    del img  # orientation shares the blurred patch
+    p = gather_patches(img_blur, uv)
+    c, s = orientation(p)
+    desc = describe(p, c, s)
     return desc, c, s
