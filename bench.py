@@ -57,6 +57,9 @@ def main():
 
     state = batched.init_batched_state(cfg, BATCH)
 
+    # NOTE: per-frame dispatch, not lax.scan over frames — XLA pessimizes
+    # the scanned pipeline ~3x (loop-carried layout constraints); at
+    # ~130 ms/step the ~1.5 ms dispatch overhead is noise
     def run_frames(state, lo, hi):
         telem_list = []
         for i in range(lo, hi):
@@ -67,9 +70,7 @@ def main():
         jax.block_until_ready(state.Tfw)
         return state, telem_list
 
-    # warmup/compile
     state, _ = run_frames(state, 0, WARMUP_FRAMES)
-
     t0 = time.perf_counter()
     state, telems = run_frames(state, WARMUP_FRAMES,
                                WARMUP_FRAMES + BENCH_FRAMES)
@@ -78,7 +79,6 @@ def main():
     frames_processed = BENCH_FRAMES * BATCH
     fps = frames_processed / dt
 
-    # accuracy on the benched stretch (sequence 0 of the batch)
     est = np.stack([np.asarray(t.Tfw[0]) for t in telems])
     gt = np.asarray(poses[WARMUP_FRAMES:WARMUP_FRAMES + BENCH_FRAMES])
     ate = metrics.ate_rmse(est, gt)

@@ -252,3 +252,67 @@ def extract_stereo_features(img_l: jnp.ndarray, img_r: jnp.ndarray,
         lines = empty_lines(cfg.line_capacity)
 
     return FrameFeatures(points=points, lines=lines)
+
+
+def _sample_depth(depth: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
+    """Nearest-pixel depth lookup (reference reads img_r.at<float>(y, x),
+    src/stereoFrame.cpp:710)."""
+    H, W = depth.shape
+    x = jnp.clip(jnp.round(uv[..., 0]).astype(jnp.int32), 0, W - 1)
+    y = jnp.clip(jnp.round(uv[..., 1]).astype(jnp.int32), 0, H - 1)
+    return depth[y, x]
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "cam"))
+def extract_rgbd_features(img: jnp.ndarray, depth: jnp.ndarray,
+                          fast_th: jnp.ndarray, min_line_length: jnp.ndarray,
+                          cam: cam_ops.StereoCamera,
+                          cfg: VOConfig) -> FrameFeatures:
+    """RGB-D front end (extractRGBDFeatures, src/stereoFrame.cpp:667-818):
+    detect on the intensity image only; disparity comes from the registered
+    depth map (disp = fx b / depth) gated by rgbd_min/max_depth and
+    min_disp.  depth is metric float32 [H, W]; invalid pixels <= 0.
+    """
+    if cfg.has_points:
+        uv, desc, level, score, valid = detect_points_multilevel(
+            img, fast_th, cfg)
+        d = _sample_depth(depth, uv)
+        depth_ok = (d > cfg.rgbd_min_depth) & (d < cfg.rgbd_max_depth)
+        disp = cam.fx * cam.b / jnp.where(depth_ok, d, 1.0)
+        ok = valid & depth_ok & (disp >= cfg.min_disp)
+        P = cam_ops.back_project(cam, uv, jnp.where(ok, disp, 1.0))
+        sigma2 = cfg.orb_scale_factor ** (-2.0 * level.astype(uv.dtype))
+        points = PointSet(uv=uv, disp=jnp.where(ok, disp, 0.0), P=P,
+                          desc=desc, level=level, sigma2=sigma2, valid=ok)
+    else:
+        points = empty_points(cfg.point_capacity)
+
+    if cfg.has_lines:
+        segs = lsd.detect_line_segments(
+            img, min_line_length, capacity=cfg.line_capacity,
+            n_dirs=cfg.lsd_n_dirs, ang_th_deg=cfg.lsd_ang_th,
+            quant=cfg.lsd_quant, density_th=cfg.lsd_density_th)
+        gx, gy = sobel(img)
+        _, ldesc = lbd.compute_lbd(gx, gy, segs.sp, segs.ep)
+        ds = _sample_depth(depth, segs.sp)
+        de = _sample_depth(depth, segs.ep)
+        ok_d = ((ds > cfg.rgbd_min_depth) & (ds < cfg.rgbd_max_depth)
+                & (de > cfg.rgbd_min_depth) & (de < cfg.rgbd_max_depth))
+        disp_s = cam.fx * cam.b / jnp.where(ok_d, ds, 1.0)
+        disp_e = cam.fx * cam.b / jnp.where(ok_d, de, 1.0)
+        ok = (segs.valid & ok_d & (disp_s >= cfg.min_disp)
+              & (disp_e >= cfg.min_disp))
+        sP = cam_ops.back_project(cam, segs.sp, jnp.where(ok, disp_s, 1.0))
+        eP = cam_ops.back_project(cam, segs.ep, jnp.where(ok, disp_e, 1.0))
+        le = _line_coeffs(segs.sp, segs.ep)
+        dtype = segs.sp.dtype
+        lines = LineSet(
+            spl=segs.sp, epl=segs.ep,
+            sdisp=jnp.where(ok, disp_s, 0.0),
+            edisp=jnp.where(ok, disp_e, 0.0),
+            sP=sP, eP=eP, le=le, angle=segs.angle, desc=ldesc,
+            level=jnp.zeros(segs.sp.shape[0], jnp.int32),
+            sigma2=jnp.ones(segs.sp.shape[0], dtype), valid=ok)
+    else:
+        lines = empty_lines(cfg.line_capacity)
+    return FrameFeatures(points=points, lines=lines)

@@ -210,7 +210,11 @@ def vo_step(state: VOState, img_l: jnp.ndarray, img_r: jnp.ndarray,
 
     feats = frame_mod.extract_stereo_features(
         img_l, img_r, state.fast_th, llength_th, cam, cfg)
+    return _track_and_update(state, feats, cam, cfg)
 
+
+def _track_and_update(state: VOState, feats, cam, cfg: VOConfig):
+    dtype = state.Tfw.dtype
     pm = match_f2f_points(state.prev_points, feats.points, cfg)
     lm = match_f2f_lines(state.prev_lines, feats.lines, cfg)
 
@@ -261,6 +265,20 @@ def vo_step(state: VOState, img_l: jnp.ndarray, img_r: jnp.ndarray,
         fast_th=fast_th_new, is_kf=is_kf & ~first,
         entropy_ratio=entropy_ratio)
     return new_state, telem
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "cam"))
+def vo_step_rgbd(state: VOState, img: jnp.ndarray, depth: jnp.ndarray,
+                 cam: cam_ops.StereoCamera,
+                 cfg: VOConfig) -> tuple[VOState, StepTelemetry]:
+    """RGB-D variant of vo_step: intensity + registered metric depth map
+    (reference extractRGBDFeatures path, src/stereoFrame.cpp:667-818)."""
+    dtype = state.Tfw.dtype
+    llength_th = jnp.asarray(
+        cfg.min_line_length * min(cam.width, cam.height), dtype)
+    feats = frame_mod.extract_rgbd_features(
+        img, depth, state.fast_th, llength_th, cam, cfg)
+    return _track_and_update(state, feats, cam, cfg)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "cam"))
