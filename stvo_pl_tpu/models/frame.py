@@ -241,7 +241,8 @@ def extract_stereo_features(img_l: jnp.ndarray, img_r: jnp.ndarray,
             segs = lsd.detect_line_segments(
                 im, min_line_length, capacity=cfg.line_capacity,
                 n_dirs=cfg.lsd_n_dirs, ang_th_deg=cfg.lsd_ang_th,
-                quant=cfg.lsd_quant, density_th=cfg.lsd_density_th)
+                quant=cfg.lsd_quant, density_th=cfg.lsd_density_th,
+                refine=not cfg.use_fld_lines)
             gx, gy = sobel(im)
             _, desc_b = lbd.compute_lbd(gx, gy, segs.sp, segs.ep)
             return segs, desc_b

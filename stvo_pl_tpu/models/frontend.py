@@ -90,12 +90,19 @@ def init_state(cfg: VOConfig, dtype=jnp.float32) -> VOState:
 # frame-to-frame matching (f2fTracking, :106-180)
 # ---------------------------------------------------------------------------
 
-def match_f2f_points(prev: PointSet, curr: PointSet,
-                     cfg: VOConfig) -> PointMatches:
+def match_f2f_points(prev: PointSet, curr: PointSet, cfg: VOConfig,
+                     cam: cam_ops.StereoCamera | None = None) -> PointMatches:
     """matchF2FPoints (:131-153): full descriptor matching (NNR + mutual)
-    between the previous and current stereo point sets."""
+    between the previous and current stereo point sets.  With
+    matching_strategy == 1 (reference src/config.cpp:90-92) candidates are
+    additionally constrained to a +/- matching_f2f_ws grid-cell window."""
     dist = hamming.hamming_matrix(prev.desc, curr.desc, cfg.hamming_use_mxu)
     cand = prev.valid[:, None] & curr.valid[None, :]
+    if cfg.matching_strategy == 1 and cam is not None:
+        inv_w = cfg.grid_cols / float(cam.width)
+        inv_h = cfg.grid_rows / float(cam.height)
+        cand = cand & matching.f2f_point_window_mask(
+            prev.uv, curr.uv, inv_w, inv_h, cfg.matching_f2f_ws)
     res = matching.nnr_mutual_match(dist, cand, cfg.min_ratio_12_p,
                                     mutual=cfg.best_lr_matches)
     j = jnp.maximum(res.idx, 0)
@@ -215,7 +222,7 @@ def vo_step(state: VOState, img_l: jnp.ndarray, img_r: jnp.ndarray,
 
 def _track_and_update(state: VOState, feats, cam, cfg: VOConfig):
     dtype = state.Tfw.dtype
-    pm = match_f2f_points(state.prev_points, feats.points, cfg)
+    pm = match_f2f_points(state.prev_points, feats.points, cfg, cam)
     lm = match_f2f_lines(state.prev_lines, feats.lines, cfg)
 
     est, pm, lm = optimizer.optimize_pose(

@@ -325,7 +325,7 @@ def _suppress_duplicates(sp, ep, resp, valid, perp_tol: float,
 
 @functools.partial(jax.jit, static_argnames=(
     "capacity", "n_dirs", "k_per_dir", "ang_th_deg", "quant", "density_th",
-    "sigma"))
+    "sigma", "refine"))
 def detect_line_segments(
     img: jnp.ndarray,
     min_length: float,
@@ -336,6 +336,7 @@ def detect_line_segments(
     quant: float = 2.0,
     density_th: float = 0.6,
     sigma: float = 0.8,
+    refine: bool = True,
 ) -> LineSegments:
     """Full dense line-segment detection on one grayscale image [H, W].
 
@@ -367,9 +368,18 @@ def detect_line_segments(
 
     xs, ys, xe, ye, ln, sup, v = (jnp.concatenate(t) for t in zip(*cands))
 
-    sp, ep, density, v = _refine_segments(ang, mag, xs, ys, xe, ye, v, tol)
-    length = jnp.linalg.norm(ep - sp, axis=-1)
-    v = v & (length >= min_length) & (density >= density_th)
+    if refine:
+        sp, ep, density, v = _refine_segments(ang, mag, xs, ys, xe, ye, v,
+                                              tol)
+        length = jnp.linalg.norm(ep - sp, axis=-1)
+        v = v & (length >= min_length) & (density >= density_th)
+    else:
+        # FLD-like fast path (reference use_fld_lines,
+        # src/stereoFrame.cpp:244-304): raw run endpoints, ranked by length
+        sp = jnp.stack([xs, ys], axis=-1)
+        ep = jnp.stack([xe, ye], axis=-1)
+        length = jnp.linalg.norm(ep - sp, axis=-1)
+        v = v & (length >= min_length)
 
     sp, ep, length, v = _merge_collinear(
         sp, ep, length, v, ang_tol=tol * 0.5, perp_tol=2.5, gap_tol=6.0)
