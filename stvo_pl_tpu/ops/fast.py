@@ -55,14 +55,22 @@ def fast_score(img: jnp.ndarray, threshold: jnp.ndarray) -> jnp.ndarray:
     diff = shifted - img[None]
 
     # min over every contiguous 9-window (circular): bright arcs need
-    # min(diff) > t, dark arcs need max(diff) < -t.
+    # min(diff) > t, dark arcs need max(diff) < -t.  Two-level tree shares
+    # subtrees: min-of-3 per offset, then min over 3 of those (16 x (2+2)
+    # reductions instead of 16 x 8).
     wrap = jnp.concatenate([diff, diff[:ARC - 1]], axis=0)  # [24, ...]
-    # windowed min/max via explicit unrolled reduction (16 windows x 9 taps,
-    # XLA fuses the elementwise tree)
+    min3 = jnp.stack(
+        [jnp.minimum(jnp.minimum(wrap[s], wrap[s + 1]), wrap[s + 2])
+         for s in range(16 + ARC - 3)], axis=0)
+    max3 = jnp.stack(
+        [jnp.maximum(jnp.maximum(wrap[s], wrap[s + 1]), wrap[s + 2])
+         for s in range(16 + ARC - 3)], axis=0)
     win_min = jnp.stack(
-        [jnp.min(wrap[s:s + ARC], axis=0) for s in range(16)], axis=0)
+        [jnp.minimum(jnp.minimum(min3[s], min3[s + 3]), min3[s + 6])
+         for s in range(16)], axis=0)
     win_max = jnp.stack(
-        [jnp.max(wrap[s:s + ARC], axis=0) for s in range(16)], axis=0)
+        [jnp.maximum(jnp.maximum(max3[s], max3[s + 3]), max3[s + 6])
+         for s in range(16)], axis=0)
 
     bright_resp = jnp.max(win_min, axis=0)    # > t  => bright corner
     dark_resp = -jnp.min(win_max, axis=0)     # > t  => dark corner

@@ -30,7 +30,7 @@ N_BANDS = 9
 BAND_W = 7           # widthOfBand_ = 7 (descriptor_custom.hpp:189-213)
 N_SAMPLES = 16       # samples along the line direction
 REGION_PX = N_BANDS * BAND_W   # 63-pixel-wide support region
-N_TAPS = 33          # perpendicular taps (stride ~2 px): the band statistics
+N_TAPS = 21          # perpendicular taps (stride ~3 px): the band statistics
                      # are Gaussian-weighted sums, so subsampling the region
                      # halves the gather count at no descriptor quality cost
 DESC_F = N_BANDS * 8  # 72 floats

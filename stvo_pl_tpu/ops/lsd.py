@@ -163,7 +163,7 @@ def _detect_one_direction(aligned: jnp.ndarray, weight: jnp.ndarray,
 
 
 def _refine_segments(ang_field, mag, xs, ys, xe, ye, valid,
-                     tol: float, n_samples: int = 24, search: int = 2):
+                     tol: float, n_samples: int = 16, search: int = 2):
     """Weighted least-squares refit of each candidate segment.
 
     Samples n_samples points along the segment; at each, computes the

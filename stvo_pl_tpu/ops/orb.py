@@ -70,6 +70,9 @@ def gather_patches(img: jnp.ndarray, uv: jnp.ndarray,
                   W - P)
     y0 = jnp.clip(jnp.round(uv[:, 1]).astype(jnp.int32) - radius, 0,
                   H - P)
+    # vmapped dynamic_slice lowers to a sequential loop of per-patch block
+    # DMAs (~1 us each) — measured 7x faster than the equivalent row-slice
+    # lax.gather on this hardware
     return jax.vmap(
         lambda y, x: jax.lax.dynamic_slice(img, (y, x), (P, P)))(y0, x0)
 
