@@ -16,7 +16,6 @@ threshold, matched/inlier counts.
 from __future__ import annotations
 
 import argparse
-import sys
 import time
 
 import numpy as np

@@ -36,7 +36,6 @@ import jax.numpy as jnp
 
 from stvo_pl_tpu.config import VOConfig
 from stvo_pl_tpu.ops import linalg, robust, se3
-from stvo_pl_tpu.ops import camera as cam_ops
 from stvo_pl_tpu.models.features import LineMatches, PointMatches
 
 SQRT_CHI2_995_3DOF = 2.7955  # sqrt(7.815), robust-scale clamp (:744)

@@ -82,20 +82,20 @@ def _binarization_pairs():
 _PAIRS = jnp.asarray(_binarization_pairs())  # [32, 2]
 
 
-def _sample_nearest(img: jnp.ndarray, x: jnp.ndarray,
-                    y: jnp.ndarray) -> jnp.ndarray:
-    """Nearest-neighbor sampling.
+def _sample_nearest2(img2: jnp.ndarray, x: jnp.ndarray,
+                     y: jnp.ndarray) -> jnp.ndarray:
+    """Nearest-neighbor sampling of a 2-channel field ([H, W, 2]).
 
-    TPU gathers cost ~1 element/cycle, so the 4-tap bilinear version of this
-    descriptor was gather-bound (~54 ms/image at the reference budgets).
-    The LBD bands are Gaussian-weighted *sums* over the support region, so
-    sub-pixel sampling adds nothing the weighting doesn't already smooth —
-    nearest sampling quarters the gather count with no matching-quality
-    change."""
-    H, W = img.shape
+    The original 4-tap bilinear, per-field version was gather-bound
+    (~54 ms/image at reference budgets).  The LBD bands are
+    Gaussian-weighted *sums* over the support region, so nearest sampling
+    changes nothing the weighting doesn't already smooth; stacking (gx, gy)
+    channel-last halves the addressing work again (one index per 2-vector,
+    channels contiguous)."""
+    H, W, _ = img2.shape
     xi = jnp.clip(jnp.round(x).astype(jnp.int32), 0, W - 1)
     yi = jnp.clip(jnp.round(y).astype(jnp.int32), 0, H - 1)
-    return img[yi, xi]
+    return img2[yi, xi]
 
 
 @functools.partial(jax.jit, static_argnames=())
@@ -117,8 +117,10 @@ def compute_lbd(gx: jnp.ndarray, gy: jnp.ndarray, sp: jnp.ndarray,
     pts = along[:, :, None, :] + do[:, None, None, :] * off[None, None, :, None]
     px = pts[..., 0]
     py = pts[..., 1]
-    sgx = _sample_nearest(gx, px, py)               # [K, S, R]
-    sgy = _sample_nearest(gy, px, py)
+    g2 = jnp.stack([gx, gy], axis=-1)               # [H, W, 2]
+    sg = _sample_nearest2(g2, px, py)               # [K, S, R, 2]
+    sgx = sg[..., 0]
+    sgy = sg[..., 1]
 
     # gradient projections onto line frame
     g_dl = sgx * dl[:, None, None, 0] + sgy * dl[:, None, None, 1]

@@ -11,8 +11,9 @@ src/stereoFrame.cpp:112-115).  Design:
     rotation-safe radius).  Descriptors only need to be *internally*
     consistent (stereo L<->R and f2f matching both use this descriptor);
     parity with the reference is at trajectory level (SURVEY.md §7).
-  * bilinear sampling of rotated test points makes descriptors stable under
-    the continuous orientation estimate.
+  * the rotated binary tests execute as ONE bf16 matmul against a static
+    orientation-binned +/-1 test matrix (see describe()) — the whole
+    descriptor stage rides the MXU.
 
 Output format: [K, 8] uint32 = 256 bits, the reference's descriptor width
 (32 bytes, src/matching.cpp:97-101).
@@ -136,9 +137,12 @@ def describe(patches: jnp.ndarray, cos_t: jnp.ndarray,
     diffs = jax.lax.dot_general(
         flat.astype(jnp.bfloat16), D, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)           # [K, 30*256]
-    mine = jax.vmap(
-        lambda row, b: jax.lax.dynamic_slice(row, (b * N_BITS,), (N_BITS,))
-    )(diffs, bin_idx)                                 # [K, 256]
+    # select each keypoint's bin block with a one-hot contraction (a
+    # per-row dynamic_slice lowers to a sequential while loop)
+    onehot = (jnp.arange(N_ORI_BINS, dtype=jnp.int32)[None, :]
+              == bin_idx[:, None]).astype(diffs.dtype)   # [K, 30]
+    mine = jnp.einsum("kb,kbc->kc",
+                      onehot, diffs.reshape(-1, N_ORI_BINS, N_BITS))
     bits = (mine > 0).astype(jnp.uint32)
     words = bits.reshape(-1, 8, 32)
     shifts = jnp.arange(32, dtype=jnp.uint32)

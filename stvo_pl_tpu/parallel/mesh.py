@@ -10,6 +10,25 @@ DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
 
+def init_distributed(coordinator_address: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None):
+    """Initialize the multi-host runtime (the reference has no communication
+    backend at all, SURVEY.md §2.4; here XLA collectives over ICI/DCN are
+    the NCCL equivalent).  No-op when already initialized or single-host
+    with no coordinator configured."""
+    import jax
+    try:
+        if coordinator_address is not None:
+            jax.distributed.initialize(coordinator_address=coordinator_address,
+                                       num_processes=num_processes,
+                                       process_id=process_id)
+        else:
+            jax.distributed.initialize()
+    except (RuntimeError, ValueError):
+        pass  # single-host / already initialized
+
+
 def make_mesh(n_data: int | None = None, n_model: int = 1,
               devices=None) -> Mesh:
     """Build a [data, model] mesh over the available devices.
