@@ -62,18 +62,20 @@ def gather_patches(img: jnp.ndarray, uv: jnp.ndarray,
                    radius: int = PATCH_R) -> jnp.ndarray:
     """[H, W] x [K, 2] -> [K, 2r+1, 2r+1] integer-centered patches.
 
-    vmapped dynamic_slice lowers to ONE gather of contiguous (P, P) blocks;
-    per-element index gathers cost ~20 ns/element on TPU, block slices
-    amortize addressing over whole rows (~10x faster end to end)."""
+    On TPU this is a Pallas kernel (ops/patches.py) that stages the image
+    in VMEM once and slices every patch on-chip: the vmapped-dynamic_slice
+    alternative lowers to a sequential while-loop of per-patch HBM DMAs
+    (~2.7 us/patch in the composed front end — was the single largest cost
+    of the whole pipeline; the kernel does ~0.13 us/patch)."""
     H, W = img.shape
     P = 2 * radius + 1
     x0 = jnp.clip(jnp.round(uv[:, 0]).astype(jnp.int32) - radius, 0,
                   W - P)
     y0 = jnp.clip(jnp.round(uv[:, 1]).astype(jnp.int32) - radius, 0,
                   H - P)
-    # vmapped dynamic_slice lowers to a sequential loop of per-patch block
-    # DMAs (~1 us each) — measured 7x faster than the equivalent row-slice
-    # lax.gather on this hardware
+    if jax.default_backend() == "tpu":
+        from stvo_pl_tpu.ops.patches import extract_patches
+        return extract_patches(img, y0, x0, patch=P)
     return jax.vmap(
         lambda y, x: jax.lax.dynamic_slice(img, (y, x), (P, P)))(y0, x0)
 
