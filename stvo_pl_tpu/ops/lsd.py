@@ -100,21 +100,20 @@ DIR_STEPS = [
 ]
 
 
-def _detect_one_direction(aligned: jnp.ndarray, weight: jnp.ndarray,
-                          step: tuple, k_per_dir: int, min_len,
-                          max_doublings: int = 8, tile: int = 8):
+def _run_pack_xla(aligned: jnp.ndarray, step: tuple,
+                  max_doublings: int = 8) -> jnp.ndarray:
     """Maximal aligned runs along an integer direction via pointer doubling.
 
     f[p] = number of consecutive aligned hops starting at p going +step,
     computed in log2 steps with shifted copies:
         f_{k+1}[p] = f_k[p] if f_k[p] < 2^k else f_k[p] + f_k[p + 2^k step]
-    Run starts are `aligned & ~aligned[p - step]`; the candidate score is
-    the metric run length |step| * f.  Candidates are reduced tile-wise
-    (best per tile x tile block) before a cheap exact top-k.
+    Run starts are `aligned & ~aligned[p - step]`.  Returns the packed map
+    f*64 + (63 - tile_local_idx) at run starts (0 elsewhere), padded to 8x8
+    tile multiples — identical encoding to the Pallas kernel in
+    ops/lsd_kernel.py (XLA fallback for non-TPU backends).
     """
     dx, dy = step
     H, W = aligned.shape
-    hop = math.hypot(dx, dy)
 
     # tolerate sub-bin angular drift: thicken across the dominant
     # perpendicular axis, then close single-hop gaps along the direction
@@ -133,33 +132,58 @@ def _detect_one_direction(aligned: jnp.ndarray, weight: jnp.ndarray,
         f = jnp.where(f == h, f + fwd, f)
 
     is_start = a & ~_shift2d(a, -dy, -dx).astype(bool)
-    length = f.astype(jnp.float32) * hop
-    score = jnp.where(is_start & (length >= min_len), length, 0.0)
+    yy = jnp.arange(H, dtype=jnp.int32)[:, None]
+    xx = jnp.arange(W, dtype=jnp.int32)[None, :]
+    idx = (yy % 8) * 8 + (xx % 8)
+    packed = jnp.where(is_start, f * 64 + (63 - idx), 0)
+    Hp = -(-H // 8) * 8
+    Wp = -(-W // 8) * 8
+    return jnp.pad(packed, ((0, Hp - H), (0, Wp - W)))
 
-    # per-tile best before top-k (score map is sparse; exact top-k over the
-    # full image would sort ~2M lanes)
-    Hp = -(-H // tile) * tile
-    Wp = -(-W // tile) * tile
-    sp = jnp.pad(score, ((0, Hp - H), (0, Wp - W)))
-    tiles = sp.reshape(Hp // tile, tile, Wp // tile, tile)
-    tiles = tiles.transpose(0, 2, 1, 3).reshape(Hp // tile, Wp // tile, -1)
-    best = jnp.max(tiles, axis=-1)
-    arg = jnp.argmax(tiles, axis=-1).astype(jnp.int32)
-    ty = jnp.arange(Hp // tile, dtype=jnp.int32)[:, None] * tile + arg // tile
-    tx = jnp.arange(Wp // tile, dtype=jnp.int32)[None, :] * tile + arg % tile
 
-    k = min(k_per_dir, best.size)
-    top, pos = jax.lax.top_k(best.reshape(-1), k)
-    ys = jnp.take(ty.reshape(-1), pos).astype(jnp.float32)
-    xs = jnp.take(tx.reshape(-1), pos).astype(jnp.float32)
-    yi = jnp.take(ty.reshape(-1), pos)
-    xi = jnp.take(tx.reshape(-1), pos)
-    hops = f[yi, xi]
-    xe = xs + (hops - 1).astype(jnp.float32) * dx
-    ye = ys + (hops - 1).astype(jnp.float32) * dy
-    sup = top  # support proxy: metric length
-    valid = top > 0
-    return xs, ys, xe, ye, top, sup, valid
+def _candidates_from_packed(packed: jnp.ndarray, step: tuple,
+                            k_per_dir: int, min_len, tile: int = 8):
+    """Packed run map -> top-k run candidates.
+
+    One 8x8 reduce_window max recovers both the per-tile best run and its
+    in-tile position (the packing makes max == (argmax by f, then first
+    position), matching the old reshape+argmax semantics).  The min_len
+    threshold commutes with max/top-k (it only zeroes entries), so it is
+    applied to the k survivors rather than the full map.
+    """
+    dx, dy = step
+    Hp, Wp = packed.shape
+    hop = math.hypot(dx, dy)
+
+    pooled = jax.lax.reduce_window(packed, 0, jax.lax.max,
+                                   (tile, tile), (tile, tile), "VALID")
+    Wt = Wp // tile
+    flat = pooled.reshape(-1)
+    k = min(k_per_dir, flat.size)
+    top, pos = jax.lax.top_k(flat, k)
+    f = top // 64
+    idx = 63 - (top % 64)
+    ys = ((pos // Wt) * tile + idx // 8).astype(jnp.float32)
+    xs = ((pos % Wt) * tile + idx % 8).astype(jnp.float32)
+    hops = f.astype(jnp.float32)
+    score = jnp.where(hops * hop >= min_len, hops * hop, 0.0)
+    xe = xs + jnp.maximum(hops - 1.0, 0.0) * dx
+    ye = ys + jnp.maximum(hops - 1.0, 0.0) * dy
+    sup = score  # support proxy: metric length
+    valid = score > 0
+    return xs, ys, xe, ye, score, sup, valid
+
+
+def _detect_one_direction(aligned: jnp.ndarray, weight: jnp.ndarray,
+                          step: tuple, k_per_dir: int, min_len,
+                          max_doublings: int = 8, tile: int = 8):
+    """Run detection for one direction: Pallas kernel on TPU, XLA elsewhere."""
+    if jax.default_backend() == "tpu":
+        from stvo_pl_tpu.ops.lsd_kernel import run_pack
+        packed = run_pack(aligned, step[0], step[1], max_doublings)
+    else:
+        packed = _run_pack_xla(aligned, step, max_doublings)
+    return _candidates_from_packed(packed, step, k_per_dir, min_len, tile)
 
 
 def _refine_segments(ang_field, mag, xs, ys, xe, ye, valid,
@@ -251,17 +275,21 @@ def _merge_collinear(sp, ep, length, valid, ang_tol: float,
         da = jnp.minimum(da, jnp.pi - da)
         ang_ok = da < ang_tol
 
-        # perpendicular distances of j's endpoints to i's line
-        n = jnp.stack([-u[:, 1], u[:, 0]], axis=-1)  # [K, 2]
-        rel_s = sp[None, :, :] - sp[:, None, :]      # [i, j, 2]
-        rel_e = ep[None, :, :] - sp[:, None, :]
-        perp_s = jnp.abs(jnp.einsum("ijc,ic->ij", rel_s, n))
-        perp_e = jnp.abs(jnp.einsum("ijc,ic->ij", rel_e, n))
+        # perpendicular distances of j's endpoints to i's line (component
+        # form: [i,j,2] einsums force relayout-heavy batched dots on TPU)
+        nx, ny = -u[:, 1:2], u[:, 0:1]               # [K, 1] each
+        rsx = sp[None, :, 0] - sp[:, None, 0]        # [i, j]
+        rsy = sp[None, :, 1] - sp[:, None, 1]
+        rex = ep[None, :, 0] - sp[:, None, 0]
+        rey = ep[None, :, 1] - sp[:, None, 1]
+        perp_s = jnp.abs(rsx * nx + rsy * ny)
+        perp_e = jnp.abs(rex * nx + rey * ny)
         perp_ok = (perp_s < perp_tol) & (perp_e < perp_tol)
 
         # longitudinal projections onto i's axis
-        t_s = jnp.einsum("ijc,ic->ij", rel_s, u)
-        t_e = jnp.einsum("ijc,ic->ij", rel_e, u)
+        ux, uy = u[:, 0:1], u[:, 1:2]
+        t_s = rsx * ux + rsy * uy
+        t_e = rex * ux + rey * uy
         lo = jnp.minimum(t_s, t_e)
         hi = jnp.maximum(t_s, t_e)
         gap = jnp.maximum(lo - L[:, None], -hi)      # >0 => disjoint by gap
@@ -302,14 +330,17 @@ def _suppress_duplicates(sp, ep, resp, valid, perp_tol: float,
     d = ep - sp
     L = jnp.maximum(jnp.linalg.norm(d, axis=-1), 1e-6)
     u = d / L[:, None]
-    n = jnp.stack([-u[:, 1], u[:, 0]], axis=-1)
-    rel_s = sp[None, :, :] - sp[:, None, :]
-    rel_e = ep[None, :, :] - sp[:, None, :]
-    perp_s = jnp.abs(jnp.einsum("ijc,ic->ij", rel_s, n))
-    perp_e = jnp.abs(jnp.einsum("ijc,ic->ij", rel_e, n))
+    nx, ny = -u[:, 1:2], u[:, 0:1]
+    ux, uy = u[:, 0:1], u[:, 1:2]
+    rsx = sp[None, :, 0] - sp[:, None, 0]
+    rsy = sp[None, :, 1] - sp[:, None, 1]
+    rex = ep[None, :, 0] - sp[:, None, 0]
+    rey = ep[None, :, 1] - sp[:, None, 1]
+    perp_s = jnp.abs(rsx * nx + rsy * ny)
+    perp_e = jnp.abs(rex * nx + rey * ny)
     on_line = (perp_s < perp_tol) & (perp_e < perp_tol)
-    t_s = jnp.einsum("ijc,ic->ij", rel_s, u)
-    t_e = jnp.einsum("ijc,ic->ij", rel_e, u)
+    t_s = rsx * ux + rsy * uy
+    t_e = rex * ux + rey * uy
     lo = jnp.minimum(t_s, t_e)
     hi = jnp.maximum(t_s, t_e)
     ov = jnp.minimum(hi, L[:, None]) - jnp.maximum(lo, 0.0)
@@ -367,26 +398,56 @@ def detect_line_segments(
         cands.append((xs, ys, xe, ye, ln, sup, v))
 
     xs, ys, xe, ye, ln, sup, v = (jnp.concatenate(t) for t in zip(*cands))
+    sp = jnp.stack([xs, ys], axis=-1)
+    ep = jnp.stack([xe, ye], axis=-1)
+    length = jnp.where(v, ln, 0.0)
 
-    if refine:
-        sp, ep, density, v = _refine_segments(ang, mag, xs, ys, xe, ye, v,
-                                              tol)
-        length = jnp.linalg.norm(ep - sp, axis=-1)
-        v = v & (length >= min_length) & (density >= density_th)
-    else:
-        # FLD-like fast path (reference use_fld_lines,
-        # src/stereoFrame.cpp:244-304): raw run endpoints, ranked by length
-        sp = jnp.stack([xs, ys], axis=-1)
-        ep = jnp.stack([xe, ye], axis=-1)
-        length = jnp.linalg.norm(ep - sp, axis=-1)
-        v = v & (length >= min_length)
+    # prune the candidate pool by raw run length before the O(K^2) merge and
+    # the gather-heavy refinement: only ~capacity segments can survive, so
+    # carrying every (k_per_dir x n_dirs) candidate through those stages is
+    # wasted work (this was the dominant cost of the whole detector)
+    K = length.shape[0]
+    prune = min(K, max(2 * capacity, 256))
+    if prune < K:
+        _, keep = jax.lax.top_k(length, prune)
+        take0 = lambda a: jnp.take(a, keep, axis=0)
+        sp, ep, length, v = take0(sp), take0(ep), take0(length), take0(v)
 
+    # merge collinear fragments on the raw integer-direction endpoints and
+    # kill only HARD duplicates (off-bin lines fragment into perpendicular-
+    # offset "staircase" runs that a loose duplicate filter would destroy —
+    # they are pieces of one segment that only refinement can reassemble)
     sp, ep, length, v = _merge_collinear(
         sp, ep, length, v, ang_tol=tol * 0.5, perp_tol=2.5, gap_tol=6.0)
     resp = jnp.where(v, length, 0.0)
-    v = _suppress_duplicates(sp, ep, resp, v, perp_tol=4.0, overlap_tol=0.4)
+    v = _suppress_duplicates(sp, ep, resp, v, perp_tol=2.0, overlap_tol=0.8)
+    resp = jnp.where(v & (length >= min_length), length, 0.0)
 
-    # clamp to image bounds and final top-capacity by response
+    # reduce to final capacity, then refine only the survivors
+    top, pos = jax.lax.top_k(resp, capacity)
+    take = lambda a: jnp.take(a, pos, axis=0)
+    sp, ep, v = take(sp), take(ep), top > 0
+
+    if refine:
+        sp, ep, density, v = _refine_segments(
+            ang, mag, sp[:, 0], sp[:, 1], ep[:, 0], ep[:, 1], v, tol)
+        v = v & (density >= density_th)
+        # refined fragments of one off-bin line are now truly collinear:
+        # merge them into full segments, then drop remaining duplicates
+        length = jnp.linalg.norm(ep - sp, axis=-1)
+        sp, ep, length, v = _merge_collinear(
+            sp, ep, length, v, ang_tol=tol * 0.25, perp_tol=2.5, gap_tol=8.0)
+        resp = jnp.where(v, length, 0.0)
+        v = _suppress_duplicates(sp, ep, resp, v, perp_tol=4.0,
+                                 overlap_tol=0.4)
+    else:
+        # FLD-like fast path (reference use_fld_lines,
+        # src/stereoFrame.cpp:244-304): raw run endpoints, ranked by length
+        resp = jnp.where(v, jnp.linalg.norm(ep - sp, axis=-1), 0.0)
+        v = _suppress_duplicates(sp, ep, resp, v, perp_tol=4.0,
+                                 overlap_tol=0.4)
+
+    # clamp to image bounds, final filters, re-rank by (refined) length
     sp = jnp.clip(sp, jnp.zeros(2), jnp.asarray([W - 1.0, H - 1.0]))
     ep = jnp.clip(ep, jnp.zeros(2), jnp.asarray([W - 1.0, H - 1.0]))
     length = jnp.linalg.norm(ep - sp, axis=-1)
