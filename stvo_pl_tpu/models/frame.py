@@ -73,9 +73,8 @@ def detect_points_multilevel(img: jnp.ndarray, fast_th: jnp.ndarray,
             s = cfg.orb_scale_factor ** lv
             nh, nw = max(16, int(round(H / s))), max(16, int(round(W / s)))
             cur = resize_bilinear(gaussian_blur(cur, 0.6), nh, nw)
-        score_map = fast_ops.fast_score(cur, fast_th)
-        uv, sc, v = fast_ops.select_keypoints(
-            score_map, budgets[lv], edge=cfg.orb_edge_th, cell=4)
+        uv, sc, v = fast_ops.detect_keypoints(
+            cur, fast_th, budgets[lv], edge=cfg.orb_edge_th, cell=4)
         blur = gaussian_blur(cur, 2.0, radius=3)
         desc, _, _ = orb.orient_and_describe(cur, blur, uv)
         scale = cfg.orb_scale_factor ** lv

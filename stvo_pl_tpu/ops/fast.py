@@ -86,6 +86,22 @@ def _border_mask(shape, edge: int, dtype) -> jnp.ndarray:
     return m.astype(dtype)
 
 
+def detect_keypoints(img: jnp.ndarray, threshold: jnp.ndarray, capacity: int,
+                     edge: int = 16, cell: int = 4):
+    """FAST score + NMS + spatially-uniform top-K in one step.
+
+    On TPU the score map, NMS, and cell packing run in one fused Pallas
+    kernel (ops/fast_kernel.py) and only a 4x4 pooling + top-k remain in
+    XLA; elsewhere this is fast_score + select_keypoints.
+    """
+    if jax.default_backend() == "tpu" and cell == 4 and min(img.shape) >= 64:
+        from stvo_pl_tpu.ops.fast_kernel import fast_pack, select_from_packed
+        packed = fast_pack(img, threshold, edge)
+        return select_from_packed(packed, capacity, cell)
+    score = fast_score(img, threshold)
+    return select_keypoints(score, capacity, edge=edge, cell=cell)
+
+
 @functools.partial(jax.jit, static_argnames=("capacity", "edge", "cell"))
 def select_keypoints(score: jnp.ndarray, capacity: int, edge: int = 16,
                      cell: int = 4) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:

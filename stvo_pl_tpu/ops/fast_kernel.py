@@ -1,0 +1,194 @@
+"""Pallas TPU kernel: fused FAST-9/16 score + 3x3 NMS + cell packing.
+
+The XLA path (ops/fast.py fast_score + select_keypoints) materializes the
+16-image shifted-diff stack and the min/max window trees through HBM —
+~10 ms for 8 KITTI-sized images, almost all of it memory traffic.  This
+kernel computes the exact same response per 40-row strip held in VMEM, so
+the entire diff/window tree lives on-chip, and writes back ONE packed i32
+map:
+
+    packed[p] = floor(score * 256) * 16 + (15 - cell_local_idx(p))
+                at 3x3-NMS survivors inside the detector border, 0 elsewhere
+
+A plain 4x4 reduce_window max outside then recovers the per-cell best
+corner AND its in-cell position in one pooling pass, followed by a single
+top-k — identical selection semantics to select_keypoints (cell=4 spatial
+uniformity, top-left plateau tie-break via the same index epsilon), with
+score ranking quantized to 1/256 intensity.
+
+Replaces cv::ORB's FAST stage (reference consumes it at
+src/stereoFrame.cpp:112-115).  A custom_vmap rule flattens outer vmaps
+(sequence batch, L/R eye) into the kernel's native image axis, mirroring
+ops/patches.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from stvo_pl_tpu.ops.fast import ARC, CIRCLE
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+STRIP = 40     # rows produced per grid step (multiple of 8)
+HALO = 4       # circle radius 3 + 1 NMS row
+
+
+def _make_kernel(H: int, W: int, Wp: int, edge: int, n_strips: int):
+    R = STRIP + 2  # response rows incl. the +-1 NMS halo
+
+    def kernel(thr_ref, img_ref, out_ref):
+        n = pl.program_id(0)
+        s = pl.program_id(1)
+        t = thr_ref[n]
+        # slab rows [y0-4, y0+STRIP+4) in real coords = [y0, y0+STRIP+8) in
+        # the top-padded input; response computed for rows [y0-1, y0+STRIP]
+        slab = img_ref[0, pl.ds(s * STRIP, STRIP + 2 * HALO), :]
+        center = slab[HALO - 1:HALO - 1 + R, :]
+
+        diffs = []
+        for dy, dx in CIRCLE:
+            sh = slab[HALO - 1 + dy:HALO - 1 + dy + R, :]
+            if dx:
+                sh = pltpu.roll(sh, (-int(dx)) % Wp, axis=1)
+            diffs.append(sh - center)
+
+        # min/max over every contiguous 9-window of the circular sequence,
+        # shared-subtree form (identical to ops/fast.py fast_score)
+        wrap = diffs + diffs[:ARC - 1]
+        min3 = [jnp.minimum(jnp.minimum(wrap[i], wrap[i + 1]), wrap[i + 2])
+                for i in range(16 + ARC - 3)]
+        max3 = [jnp.maximum(jnp.maximum(wrap[i], wrap[i + 1]), wrap[i + 2])
+                for i in range(16 + ARC - 3)]
+        bright = None
+        dark = None
+        for i in range(16):
+            wmin = jnp.minimum(jnp.minimum(min3[i], min3[i + 3]), min3[i + 6])
+            wmax = jnp.maximum(jnp.maximum(max3[i], max3[i + 3]), max3[i + 6])
+            bright = wmin if bright is None else jnp.maximum(bright, wmin)
+            dark = wmax if dark is None else jnp.minimum(dark, wmax)
+        resp = jnp.maximum(bright, -dark)
+
+        # detector border + threshold (select_keypoints edge mask semantics)
+        gy = (jax.lax.broadcasted_iota(jnp.int32, (R, Wp), 0)
+              + s * STRIP - 1)
+        gx = jax.lax.broadcasted_iota(jnp.int32, (R, Wp), 1)
+        inside = ((gy >= edge) & (gy < H - edge)
+                  & (gx >= edge) & (gx < W - edge))
+        resp = jnp.where((resp > t) & inside, resp, 0.0)
+
+        # 3x3 NMS with the top-left plateau tie-break epsilon
+        eps = (gy * W + gx).astype(jnp.float32) * 1e-7
+        se = jnp.where(resp > 0, resp - eps, 0.0)
+        nmax = None
+        for dy in (-1, 0, 1):
+            row = se[1 + dy:1 + dy + STRIP, :]
+            for dx in (-1, 0, 1):
+                if dy == 0 and dx == 0:
+                    continue
+                v = pltpu.roll(row, (-dx) % Wp, axis=1) if dx else row
+                nmax = v if nmax is None else jnp.maximum(nmax, v)
+        sc = se[1:1 + STRIP, :]
+        r0 = resp[1:1 + STRIP, :]
+        keep = (sc >= nmax) & (r0 > 0)
+
+        q = (r0 * 256.0).astype(jnp.int32)
+        # fresh strip-shaped iotas: slicing a broadcasted_iota at an
+        # unaligned sublane offset and then taking % crashes Mosaic
+        sy = (jax.lax.broadcasted_iota(jnp.int32, (STRIP, Wp), 0)
+              + s * STRIP)
+        sx = jax.lax.broadcasted_iota(jnp.int32, (STRIP, Wp), 1)
+        idx = (sy % 4) * 4 + sx % 4
+        out_ref[0] = jnp.where(keep, q * 16 + (15 - idx), 0)
+
+    return kernel
+
+
+def _fast_pack_pallas(img: jnp.ndarray, thr: jnp.ndarray, edge: int):
+    """[N, H, W] images + [N] thresholds -> [N, n_strips*STRIP, Wp] packed."""
+    N, H, W = img.shape
+    Wp = _round_up(W, 128)
+    n_strips = -(-H // STRIP)
+    Htot = n_strips * STRIP + 2 * HALO
+    img_p = jnp.pad(img, ((0, 0), (HALO, Htot - H - HALO), (0, Wp - W)))
+    kernel = _make_kernel(H, W, Wp, edge, n_strips)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(N, n_strips),
+        in_specs=[
+            pl.BlockSpec((1, Htot, Wp), lambda n, s, thr: (n, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, STRIP, Wp), lambda n, s, thr: (n, s, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((N, n_strips * STRIP, Wp), jnp.int32),
+        grid_spec=grid_spec,
+    )(thr.astype(jnp.float32), img_p)
+
+
+@functools.lru_cache(maxsize=None)
+def _batched_fast_pack(edge: int):
+    """custom_vmap wrapper: outer vmaps fold into the image axis."""
+
+    @jax.custom_batching.custom_vmap
+    def f(img, thr):                       # [N, H, W], [N]
+        return _fast_pack_pallas(img, thr, edge)
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, img, thr):
+        ib_img, ib_thr = in_batched
+        if not ib_img:
+            img = jnp.broadcast_to(img[None], (axis_size,) + img.shape)
+        if not ib_thr:
+            thr = jnp.broadcast_to(thr[None], (axis_size,) + thr.shape)
+        out = f(img.reshape((-1,) + img.shape[2:]), thr.reshape(-1))
+        return out.reshape((axis_size, -1) + out.shape[1:]), True
+
+    return f
+
+
+def fast_pack(img: jnp.ndarray, thr: jnp.ndarray, edge: int) -> jnp.ndarray:
+    """[H, W] image + scalar threshold -> [Hs, Wp] packed NMS-survivor map
+    (floor(score*256)*16 + (15 - cell_idx) at corners, 0 elsewhere).
+
+    vmap folds into the kernel's native batch axis."""
+    return _batched_fast_pack(edge)(img[None], thr[None].reshape(1))[0]
+
+
+def select_from_packed(packed: jnp.ndarray, capacity: int, cell: int = 4):
+    """Packed map -> (uv [K,2] f32, score [K] f32, valid [K] bool).
+
+    One 4x4 reduce_window max recovers the per-cell best NMS survivor and
+    its in-cell position (the packing orders by quantized score, then
+    top-left position); a single top-k ranks cells.
+    """
+    Hs, Wp = packed.shape
+    pooled = jax.lax.reduce_window(packed, 0, jax.lax.max,
+                                   (cell, cell), (cell, cell), "VALID")
+    Wc = Wp // cell
+    flat = pooled.reshape(-1)
+    k = min(capacity, flat.size)
+    top, pos = jax.lax.top_k(flat, k)
+    idx = 15 - (top % 16)
+    score = (top // 16).astype(jnp.float32) * (1.0 / 256.0)
+    ys = ((pos // Wc) * cell + idx // 4).astype(jnp.float32)
+    xs = ((pos % Wc) * cell + idx % 4).astype(jnp.float32)
+    valid = top > 0
+    uv = jnp.stack([xs, ys], axis=-1)
+    if k < capacity:
+        pad = capacity - k
+        uv = jnp.concatenate([uv, jnp.zeros((pad, 2), uv.dtype)])
+        score = jnp.concatenate([score, jnp.zeros((pad,), score.dtype)])
+        valid = jnp.concatenate([valid, jnp.zeros((pad,), bool)])
+    return uv, score, valid

@@ -186,6 +186,40 @@ def _detect_one_direction(aligned: jnp.ndarray, weight: jnp.ndarray,
     return _candidates_from_packed(packed, step, k_per_dir, min_len, tile)
 
 
+def _candidates_from_packed_multi(packed: jnp.ndarray, steps, k_total: int,
+                                  min_len, tile: int = 8):
+    """All-direction metric-packed run maps -> one global top-k candidate set.
+
+    packed is [D, Hp, Wp] from lsd_kernel.run_pack_multi: values
+    (hops * hq_d) * 64 + (63 - tile_idx), hq_d = round(16 * hop_d), so a
+    single top-k ranks candidates across directions by true pixel length
+    (the per-direction quota of the one-direction path becomes a global
+    quota — downstream pruning kept only ~k_total by length anyway)."""
+    from stvo_pl_tpu.ops.lsd_kernel import _hop_q
+    D, Ht, Wp = packed.shape        # rows already pooled 8x in the kernel
+    pooled = jax.lax.reduce_window(packed, 0, jax.lax.max,
+                                   (1, 1, tile), (1, 1, tile), "VALID")
+    Wt = Wp // tile
+    flat = pooled.reshape(-1)
+    k = min(k_total, flat.size)
+    top, pos = jax.lax.top_k(flat, k)
+    d = pos // (Ht * Wt)
+    rem = pos % (Ht * Wt)
+    fm = top // 64
+    idx = 63 - (top % 64)
+    ys = ((rem // Wt) * tile + idx // 8).astype(jnp.float32)
+    xs = ((rem % Wt) * tile + idx % 8).astype(jnp.float32)
+    hq = jnp.asarray([_hop_q(sx, sy) for sx, sy in steps], jnp.int32)[d]
+    sx = jnp.asarray([s[0] for s in steps], jnp.float32)[d]
+    sy = jnp.asarray([s[1] for s in steps], jnp.float32)[d]
+    hops = (fm // hq).astype(jnp.float32)
+    length = fm.astype(jnp.float32) * (1.0 / 16.0)
+    score = jnp.where(length >= min_len, length, 0.0)
+    xe = xs + jnp.maximum(hops - 1.0, 0.0) * sx
+    ye = ys + jnp.maximum(hops - 1.0, 0.0) * sy
+    return xs, ys, xe, ye, score, score, score > 0
+
+
 def _refine_segments(ang_field, mag, xs, ys, xe, ye, valid,
                      tol: float, n_samples: int = 16, search: int = 2):
     """Weighted least-squares refit of each candidate segment.
@@ -212,8 +246,14 @@ def _refine_segments(ang_field, mag, xs, ys, xe, ye, valid,
     pts = base[:, :, None, :] + n[:, None, None, :] * offs[None, None, :, None]
     px = jnp.clip(jnp.round(pts[..., 0]).astype(jnp.int32), 0, W - 1)
     py = jnp.clip(jnp.round(pts[..., 1]).astype(jnp.int32), 0, H - 1)
-    m = mag[py, px]                               # [K, S, O]
-    a = ang_field[py, px]
+    # ONE channel-paired gather: two separate 2-D gathers of ang and mag
+    # lower to a ~100 ns/element scalar path on TPU (measured 4.6 ms/step,
+    # the dominant cost of the whole detector); pairing (ang, mag)
+    # channel-last vectorizes the same lookups ~8x
+    field2 = jnp.stack([ang_field, mag], axis=-1)  # [H, W, 2]
+    am = field2[py, px]                            # [K, S, O, 2]
+    a = am[..., 0]
+    m = am[..., 1]
     align = _angle_dist_mod_pi(a, 0.0)  # placeholder, computed per-seg below
     # alignment with THIS segment's direction (undirected)
     dist = jnp.abs(a[..., None] * 0)  # shape helper (unused)
@@ -381,7 +421,6 @@ def detect_line_segments(
     smoothed = gaussian_blur(img, sigma)
     ang, mag = level_line_field(smoothed)
 
-    cands = []
     if n_dirs >= len(DIR_STEPS):
         steps = DIR_STEPS
     else:
@@ -390,28 +429,48 @@ def detect_line_segments(
         idx = np.round(np.linspace(0, len(DIR_STEPS), n_dirs,
                                    endpoint=False)).astype(int)
         steps = [DIR_STEPS[i] for i in idx]
-    for (dx, dy) in steps:
-        theta = math.atan2(dy, dx) % math.pi    # undirected line angle
-        aligned = (_angle_dist_mod_pi(ang, theta) < tol) & (mag > rho)
-        xs, ys, xe, ye, ln, sup, v = _detect_one_direction(
-            aligned, mag, (dx, dy), k_per_dir, min_length)
-        cands.append((xs, ys, xe, ye, ln, sup, v))
 
-    xs, ys, xe, ye, ln, sup, v = (jnp.concatenate(t) for t in zip(*cands))
-    sp = jnp.stack([xs, ys], axis=-1)
-    ep = jnp.stack([xe, ye], axis=-1)
-    length = jnp.where(v, ln, 0.0)
+    k_total = max(2 * capacity, 256)
+    if jax.default_backend() == "tpu":
+        # ONE kernel launch for all directions: XLA packs the per-direction
+        # alignment masks into an i32 bitmask image; the kernel keeps it
+        # VMEM-resident across a (image, direction) grid
+        from stvo_pl_tpu.ops.lsd_kernel import run_pack_multi
+        bits = jnp.zeros(ang.shape, jnp.int32)
+        for i, (dx, dy) in enumerate(steps):
+            theta = math.atan2(dy, dx) % math.pi
+            aligned = (_angle_dist_mod_pi(ang, theta) < tol) & (mag > rho)
+            bits = bits | (aligned.astype(jnp.int32) << i)
+        packed = run_pack_multi(bits, tuple(steps))
+        xs, ys, xe, ye, ln, sup, v = _candidates_from_packed_multi(
+            packed, steps, k_total, min_length)
+        sp = jnp.stack([xs, ys], axis=-1)
+        ep = jnp.stack([xe, ye], axis=-1)
+        length = jnp.where(v, ln, 0.0)
+    else:
+        cands = []
+        for (dx, dy) in steps:
+            theta = math.atan2(dy, dx) % math.pi    # undirected line angle
+            aligned = (_angle_dist_mod_pi(ang, theta) < tol) & (mag > rho)
+            xs, ys, xe, ye, ln, sup, v = _detect_one_direction(
+                aligned, mag, (dx, dy), k_per_dir, min_length)
+            cands.append((xs, ys, xe, ye, ln, sup, v))
 
-    # prune the candidate pool by raw run length before the O(K^2) merge and
-    # the gather-heavy refinement: only ~capacity segments can survive, so
-    # carrying every (k_per_dir x n_dirs) candidate through those stages is
-    # wasted work (this was the dominant cost of the whole detector)
-    K = length.shape[0]
-    prune = min(K, max(2 * capacity, 256))
-    if prune < K:
-        _, keep = jax.lax.top_k(length, prune)
-        take0 = lambda a: jnp.take(a, keep, axis=0)
-        sp, ep, length, v = take0(sp), take0(ep), take0(length), take0(v)
+        xs, ys, xe, ye, ln, sup, v = (jnp.concatenate(t) for t in zip(*cands))
+        sp = jnp.stack([xs, ys], axis=-1)
+        ep = jnp.stack([xe, ye], axis=-1)
+        length = jnp.where(v, ln, 0.0)
+
+        # prune the candidate pool by raw run length before the O(K^2) merge
+        # and the gather-heavy refinement: only ~capacity segments can
+        # survive, so carrying every (k_per_dir x n_dirs) candidate through
+        # those stages is wasted work
+        K = length.shape[0]
+        prune = min(K, k_total)
+        if prune < K:
+            _, keep = jax.lax.top_k(length, prune)
+            take0 = lambda a: jnp.take(a, keep, axis=0)
+            sp, ep, length, v = take0(sp), take0(ep), take0(length), take0(v)
 
     # merge collinear fragments on the raw integer-direction endpoints and
     # kill only HARD duplicates (off-bin lines fragment into perpendicular-

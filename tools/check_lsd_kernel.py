@@ -1,0 +1,45 @@
+"""Compare multi-direction LSD kernel with single-dir path on TPU (dev)."""
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from stvo_pl_tpu.config import VOConfig
+from stvo_pl_tpu.ops import camera as cam_ops, lsd
+from stvo_pl_tpu.utils import synthetic
+
+cam = cam_ops.StereoCamera(fx=718.856, fy=718.856, cx=613.0, cy=185.0,
+                           b=0.5372, width=1226, height=370)
+cfg = VOConfig()
+key = jax.random.PRNGKey(0)
+scene = synthetic.make_scene(key, n_points=1400, n_lines=64,
+                             extent=(40.0, 15.0, 90.0), z_near=5.0)
+poses = synthetic.smooth_trajectory(2, speed=0.8)
+seq_l, _ = synthetic.render_sequence(scene, poses, cam)
+img = seq_l[0]
+mll = jnp.float32(0.02 * min(cam.width, cam.height))
+
+det = jax.jit(lambda im: lsd.detect_line_segments(
+    im, mll, capacity=cfg.line_capacity, n_dirs=cfg.lsd_n_dirs,
+    ang_th_deg=cfg.lsd_ang_th, quant=cfg.lsd_quant,
+    density_th=cfg.lsd_density_th, refine=not cfg.use_fld_lines))
+segs = jax.block_until_ready(det(img))
+nv = int(np.asarray(segs.valid).sum())
+print(f"segments: {nv}  mean length: "
+      f"{float(np.asarray(segs.length)[np.asarray(segs.valid)].mean()):.1f}")
+
+imgs8 = jnp.broadcast_to(img, (8,) + img.shape)
+f = jax.jit(jax.vmap(det))
+r = jax.block_until_ready(f(imgs8))
+t0 = time.perf_counter()
+for _ in range(10):
+    r = f(imgs8)
+jax.block_until_ready(r)
+print(f"lsd.detect x8: {(time.perf_counter() - t0) / 10 * 1e3:.2f} ms")
