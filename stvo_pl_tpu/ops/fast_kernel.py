@@ -179,7 +179,12 @@ def select_from_packed(packed: jnp.ndarray, capacity: int, cell: int = 4):
     Wc = Wp // cell
     flat = pooled.reshape(-1)
     k = min(capacity, flat.size)
-    top, pos = jax.lax.top_k(flat, k)
+    # packed values < 2^24, exact in f32; approx_max_k uses the TPU-native
+    # partial-reduction path (an exact top_k sort here costs ~as much as
+    # the whole detection kernel)
+    topf, pos = jax.lax.approx_max_k(flat.astype(jnp.float32), k,
+                                     recall_target=0.95)
+    top = topf.astype(jnp.int32)
     idx = 15 - (top % 16)
     score = (top // 16).astype(jnp.float32) * (1.0 / 256.0)
     ys = ((pos // Wc) * cell + idx // 4).astype(jnp.float32)

@@ -202,7 +202,11 @@ def _candidates_from_packed_multi(packed: jnp.ndarray, steps, k_total: int,
     Wt = Wp // tile
     flat = pooled.reshape(-1)
     k = min(k_total, flat.size)
-    top, pos = jax.lax.top_k(flat, k)
+    # packed values < 2^24, exact in f32; TPU-native partial reduction
+    # instead of a full sort (see ops/fast_kernel.select_from_packed)
+    topf, pos = jax.lax.approx_max_k(flat.astype(jnp.float32), k,
+                                     recall_target=0.95)
+    top = topf.astype(jnp.int32)
     d = pos // (Ht * Wt)
     rem = pos % (Ht * Wt)
     fm = top // 64
