@@ -96,8 +96,8 @@ def detect_keypoints(img: jnp.ndarray, threshold: jnp.ndarray, capacity: int,
     """
     if jax.default_backend() == "tpu" and cell == 4 and min(img.shape) >= 64:
         from stvo_pl_tpu.ops.fast_kernel import fast_pack, select_from_packed
-        packed = fast_pack(img, threshold, edge)
-        return select_from_packed(packed, capacity, cell)
+        packed = fast_pack(img, edge)
+        return select_from_packed(packed, capacity, threshold, cell)
     score = fast_score(img, threshold)
     return select_keypoints(score, capacity, edge=edge, cell=cell)
 

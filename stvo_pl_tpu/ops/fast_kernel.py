@@ -45,10 +45,8 @@ HALO = 4       # circle radius 3 + 1 NMS row
 def _make_kernel(H: int, W: int, Wp: int, edge: int, n_strips: int):
     R = STRIP + 2  # response rows incl. the +-1 NMS halo
 
-    def kernel(thr_ref, img_ref, out_ref):
-        n = pl.program_id(0)
+    def kernel(img_ref, out_ref):
         s = pl.program_id(1)
-        t = thr_ref[n]
         # slab rows [y0-4, y0+STRIP+4) in real coords = [y0, y0+STRIP+8) in
         # the top-padded input; response computed for rows [y0-1, y0+STRIP]
         slab = img_ref[0, pl.ds(s * STRIP, STRIP + 2 * HALO), :]
@@ -77,13 +75,19 @@ def _make_kernel(H: int, W: int, Wp: int, edge: int, n_strips: int):
             dark = wmax if dark is None else jnp.minimum(dark, wmax)
         resp = jnp.maximum(bright, -dark)
 
-        # detector border + threshold (select_keypoints edge mask semantics)
+        # detector border (select_keypoints edge mask semantics).  The
+        # adaptive FAST threshold is NOT applied here: a device->SMEM
+        # scalar-prefetch stalls the launch pipeline (~1.8 ms/step
+        # measured), and gating after NMS is exactly equivalent — a
+        # survivor above t beats every neighbor regardless of the gate, so
+        # zeroing sub-threshold pixels before NMS changes nothing for the
+        # survivors the selection keeps.
         gy = (jax.lax.broadcasted_iota(jnp.int32, (R, Wp), 0)
               + s * STRIP - 1)
         gx = jax.lax.broadcasted_iota(jnp.int32, (R, Wp), 1)
         inside = ((gy >= edge) & (gy < H - edge)
                   & (gx >= edge) & (gx < W - edge))
-        resp = jnp.where((resp > t) & inside, resp, 0.0)
+        resp = jnp.where((resp > 0) & inside, resp, 0.0)
 
         # 3x3 NMS with the top-left plateau tie-break epsilon
         eps = (gy * W + gx).astype(jnp.float32) * 1e-7
@@ -112,29 +116,23 @@ def _make_kernel(H: int, W: int, Wp: int, edge: int, n_strips: int):
     return kernel
 
 
-def _fast_pack_pallas(img: jnp.ndarray, thr: jnp.ndarray, edge: int):
-    """[N, H, W] images + [N] thresholds -> [N, n_strips*STRIP, Wp] packed."""
+def _fast_pack_pallas(img: jnp.ndarray, edge: int):
+    """[N, H, W] images -> [N, n_strips*STRIP, Wp] packed corner maps."""
     N, H, W = img.shape
     Wp = _round_up(W, 128)
     n_strips = -(-H // STRIP)
     Htot = n_strips * STRIP + 2 * HALO
     img_p = jnp.pad(img, ((0, 0), (HALO, Htot - H - HALO), (0, Wp - W)))
     kernel = _make_kernel(H, W, Wp, edge, n_strips)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(N, n_strips),
-        in_specs=[
-            pl.BlockSpec((1, Htot, Wp), lambda n, s, thr: (n, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, STRIP, Wp), lambda n, s, thr: (n, s, 0),
-                               memory_space=pltpu.VMEM),
-    )
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((N, n_strips * STRIP, Wp), jnp.int32),
-        grid_spec=grid_spec,
-    )(thr.astype(jnp.float32), img_p)
+        grid=(N, n_strips),
+        in_specs=[pl.BlockSpec((1, Htot, Wp), lambda n, s: (n, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, STRIP, Wp), lambda n, s: (n, s, 0),
+                               memory_space=pltpu.VMEM),
+    )(img_p)
 
 
 @functools.lru_cache(maxsize=None)
@@ -142,36 +140,36 @@ def _batched_fast_pack(edge: int):
     """custom_vmap wrapper: outer vmaps fold into the image axis."""
 
     @jax.custom_batching.custom_vmap
-    def f(img, thr):                       # [N, H, W], [N]
-        return _fast_pack_pallas(img, thr, edge)
+    def f(img):                            # [N, H, W]
+        return _fast_pack_pallas(img, edge)
 
     @f.def_vmap
-    def _rule(axis_size, in_batched, img, thr):
-        ib_img, ib_thr = in_batched
-        if not ib_img:
+    def _rule(axis_size, in_batched, img):
+        if not in_batched[0]:
             img = jnp.broadcast_to(img[None], (axis_size,) + img.shape)
-        if not ib_thr:
-            thr = jnp.broadcast_to(thr[None], (axis_size,) + thr.shape)
-        out = f(img.reshape((-1,) + img.shape[2:]), thr.reshape(-1))
+        out = f(img.reshape((-1,) + img.shape[2:]))
         return out.reshape((axis_size, -1) + out.shape[1:]), True
 
     return f
 
 
-def fast_pack(img: jnp.ndarray, thr: jnp.ndarray, edge: int) -> jnp.ndarray:
-    """[H, W] image + scalar threshold -> [Hs, Wp] packed NMS-survivor map
+def fast_pack(img: jnp.ndarray, edge: int) -> jnp.ndarray:
+    """[H, W] image -> [Hs, Wp] packed NMS-survivor map
     (floor(score*256)*16 + (15 - cell_idx) at corners, 0 elsewhere).
 
     vmap folds into the kernel's native batch axis."""
-    return _batched_fast_pack(edge)(img[None], thr[None].reshape(1))[0]
+    return _batched_fast_pack(edge)(img[None])[0]
 
 
-def select_from_packed(packed: jnp.ndarray, capacity: int, cell: int = 4):
+def select_from_packed(packed: jnp.ndarray, capacity: int,
+                       threshold: jnp.ndarray, cell: int = 4):
     """Packed map -> (uv [K,2] f32, score [K] f32, valid [K] bool).
 
     One 4x4 reduce_window max recovers the per-cell best NMS survivor and
     its in-cell position (the packing orders by quantized score, then
-    top-left position); a single top-k ranks cells.
+    top-left position); a single top-k ranks cells.  The (traced, adaptive)
+    FAST threshold gates the decoded scores here — equivalent to gating
+    before NMS, and it keeps the kernel free of scalar operands.
     """
     Hs, Wp = packed.shape
     pooled = jax.lax.reduce_window(packed, 0, jax.lax.max,
@@ -189,7 +187,7 @@ def select_from_packed(packed: jnp.ndarray, capacity: int, cell: int = 4):
     score = (top // 16).astype(jnp.float32) * (1.0 / 256.0)
     ys = ((pos // Wc) * cell + idx // 4).astype(jnp.float32)
     xs = ((pos % Wc) * cell + idx % 4).astype(jnp.float32)
-    valid = top > 0
+    valid = (top > 0) & (score > threshold)
     uv = jnp.stack([xs, ys], axis=-1)
     if k < capacity:
         pad = capacity - k
