@@ -28,10 +28,14 @@ def init_batched_state(cfg: VOConfig, batch: int) -> frontend.VOState:
         lambda x: jnp.broadcast_to(x, (batch,) + x.shape), one)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "cam"))
+@functools.partial(jax.jit, static_argnames=("cfg", "cam"),
+                   donate_argnums=(0,))
 def vo_step_batched(state, imgs_l, imgs_r, cam: cam_ops.StereoCamera,
                     cfg: VOConfig):
-    """One step for B sequences at once: [B, H, W] stereo stacks."""
+    """One step for B sequences at once: [B, H, W] stereo stacks.
+
+    The input state is donated — the step is the state's only consumer in
+    the VO loop, and in-place reuse removes a pytree of copies per step."""
     return jax.vmap(
         lambda s, il, ir: frontend.vo_step(s, il, ir, cam, cfg)
     )(state, imgs_l, imgs_r)
