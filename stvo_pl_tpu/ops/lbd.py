@@ -28,12 +28,16 @@ import jax.numpy as jnp
 
 N_BANDS = 9
 BAND_W = 7           # widthOfBand_ = 7 (descriptor_custom.hpp:189-213)
-N_SAMPLES = 16       # samples along the line direction
+N_SAMPLES = 12       # samples along the line direction
 REGION_PX = N_BANDS * BAND_W   # 63-pixel-wide support region
-N_TAPS = 11          # perpendicular taps (stride ~6 px): the band statistics
+N_TAPS = 7           # perpendicular taps (stride ~10 px): the band statistics
                      # are Gaussian-weighted sums, so subsampling the region
-                     # trades nothing measurable — and the TPU gather cost,
-                     # the dominant front-end cost, scales with tap count
+                     # trades nothing measurable — and the TPU gather cost
+                     # (scalar-unit bound, ~8 cycles/index), the dominant
+                     # front-end cost, scales with S*R.  A Pallas row-chunk
+                     # alternative (VMEM slices + MXU tap select) measured
+                     # ~0.3 us/chunk — slower than XLA's gather at these
+                     # budgets — and was removed; see BASELINE.md log.
 PRE_SIGMA = 0.0      # optional gradient pre-blur (0 = off: blurring cancels
                      # thin-line gradient pairs and measurably hurts matching)
 DESC_F = N_BANDS * 8  # 72 floats
@@ -122,7 +126,8 @@ def compute_lbd(gx: jnp.ndarray, gy: jnp.ndarray, sp: jnp.ndarray,
     t = jnp.linspace(0.0, 1.0, N_SAMPLES)
     along = sp[:, None, :] + d[:, None, :] * t[None, :, None]   # [K, S, 2]
     off = jnp.asarray(_TAP_OFF, jnp.float32)                    # [R]
-    pts = along[:, :, None, :] + do[:, None, None, :] * off[None, None, :, None]
+    pts = (along[:, :, None, :]
+           + do[:, None, None, :] * off[None, None, :, None])
     px = pts[..., 0]
     py = pts[..., 1]
     g2 = jnp.stack([gx, gy], axis=-1)               # [H, W, 2]

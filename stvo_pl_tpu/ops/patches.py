@@ -27,8 +27,12 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _pallas_extract(img: jnp.ndarray, y0: jnp.ndarray, x0: jnp.ndarray,
-                    patch: int, chunk: int) -> jnp.ndarray:
-    """[N, H, W] + [N, K] clipped top-left corners -> [N, K, P, P]."""
+                    patch, chunk: int) -> jnp.ndarray:
+    """[N, H, W] + [N, K] clipped top-left corners -> [N, K, PY, PX].
+
+    `patch` is an int (square) or a (PY, PX) pair — rectangular blocks let
+    row-structured consumers (LBD/LSD tap sampling) pull one wide row chunk
+    per site instead of many scattered scalar gathers."""
     N, H, W = img.shape
     K = y0.shape[-1]
     Kp = _round_up(K, chunk)
@@ -36,14 +40,16 @@ def _pallas_extract(img: jnp.ndarray, y0: jnp.ndarray, x0: jnp.ndarray,
         pad = ((0, 0), (0, Kp - K))
         y0 = jnp.pad(y0, pad)
         x0 = jnp.pad(x0, pad)
-    P = patch
+    PY, PX = (patch, patch) if isinstance(patch, int) else patch
     # aligned superset reads: sublane offsets must be 8-aligned, lane
     # offsets 128-aligned for VMEM vector loads — load the aligned corner
     # block and rotate the remainder into place
-    BY = _round_up(P + 8, 8)
-    BX = _round_up(P + 128, 128)
-    Hp = max(_round_up(H, 8), (H - P) // 8 * 8 + BY)
-    Wp = max(_round_up(W, 128), (W - P) // 128 * 128 + BX)
+    # block must cover rows [ya, ya+7+PY) for the 8-way sublane switch and
+    # lanes [xa, xa+127+PX) for the lane roll
+    BY = _round_up(PY + 7, 8)
+    BX = _round_up(PX + 127, 128)
+    Hp = max(_round_up(H, 8), (H - PY) // 8 * 8 + BY)
+    Wp = max(_round_up(W, 128), (W - PX) // 128 * 128 + BX)
     img_p = jnp.pad(img, ((0, 0), (0, Hp - H), (0, Wp - W)))
     y0 = y0.astype(jnp.int32).reshape(-1)   # [N*Kp]
     x0 = x0.astype(jnp.int32).reshape(-1)
@@ -59,11 +65,27 @@ def _pallas_extract(img: jnp.ndarray, y0: jnp.ndarray, x0: jnp.ndarray,
             xa = (x // 128) * 128
             block = img_ref[0, pl.ds(ya, BY), pl.ds(xa, BX)]
             block = pltpu.roll(block, -(x - xa), axis=1)
-            # dynamic sublane roll after a dynamic slice miscompiles on this
-            # toolchain; an 8-way switch over static slices is equivalent
-            block = jax.lax.switch(y - ya, [
-                (lambda b=block, d=d: b[d:d + P, :P]) for d in range(8)])
-            out_ref[0, i, :, :] = block
+            if PY == 1:
+                # single-row chunks: branch-free sublane select (an 8-way
+                # switch here costs ~100s of scalar cycles per chunk); the
+                # i32 round-trip is free and dodges Mosaic's missing
+                # unsigned reductions — exactly one row is nonzero, so the
+                # sum is a bit-exact pass-through
+                b = block[:, :PX]
+                if b.dtype == jnp.uint32:
+                    b = jax.lax.bitcast_convert_type(b, jnp.int32)
+                rows = jax.lax.broadcasted_iota(jnp.int32, (BY, PX), 0)
+                picked = jnp.where(rows == (y - ya), b, 0)
+                row = jnp.sum(picked, axis=0)
+                if out_ref.dtype == jnp.uint32:
+                    row = jax.lax.bitcast_convert_type(row, jnp.uint32)
+                out_ref[0, i, 0, :] = row
+            else:
+                # dynamic sublane roll after a dynamic slice miscompiles on
+                # this toolchain; an 8-way switch over static slices works
+                block = jax.lax.switch(y - ya, [
+                    (lambda b=block, d=d: b[d:d + PY, :PX]) for d in range(8)])
+                out_ref[0, i, :, :] = block
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -72,20 +94,20 @@ def _pallas_extract(img: jnp.ndarray, y0: jnp.ndarray, x0: jnp.ndarray,
             pl.BlockSpec((1, Hp, Wp), lambda n, c, y, x: (n, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, chunk, P, P),
+        out_specs=pl.BlockSpec((1, chunk, PY, PX),
                                lambda n, c, y, x: (n, c, 0, 0),
                                memory_space=pltpu.VMEM),
     )
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((N, Kp, P, P), img.dtype),
+        out_shape=jax.ShapeDtypeStruct((N, Kp, PY, PX), img.dtype),
         grid_spec=grid_spec,
     )(y0, x0, img_p)
     return out[:, :K]
 
 
 @functools.lru_cache(maxsize=None)
-def _batched_extractor(patch: int, chunk: int):
+def _batched_extractor(patch, chunk: int):
     """custom_vmap wrapper: outer vmaps fold into the kernel's image axis."""
 
     @jax.custom_batching.custom_vmap
@@ -111,9 +133,11 @@ def _batched_extractor(patch: int, chunk: int):
 
 
 def extract_patches_batched(img: jnp.ndarray, y0: jnp.ndarray,
-                            x0: jnp.ndarray, patch: int = 33,
+                            x0: jnp.ndarray, patch=33,
                             chunk: int = 8) -> jnp.ndarray:
-    """[N, H, W] images + [N, K] clipped top-left corners -> [N, K, P, P]."""
+    """[N, H, W] images + [N, K] clipped top-left corners -> [N, K, PY, PX].
+
+    `patch` is an int (square) or a (PY, PX) pair."""
     return _batched_extractor(patch, chunk)(img, y0, x0)
 
 
