@@ -225,13 +225,13 @@ def extract_stereo_features(img_l: jnp.ndarray, img_r: jnp.ndarray,
     """Full per-frame front end (extractStereoFeatures,
     src/stereoFrame.cpp:59-75): points and lines, L and R, one XLA program."""
     if cfg.has_points:
-        imgs = jnp.stack([img_l, img_r])
-        det = jax.vmap(lambda im: detect_points_multilevel(im, fast_th, cfg))(
-            imgs)
-        uv, desc, level, score, valid = det
+        uv_l, desc_l, level_l, _, valid_l = detect_points_multilevel(
+            img_l, fast_th, cfg)
+        uv_r, desc_r, level_r, _, valid_r = detect_points_multilevel(
+            img_r, fast_th, cfg)
         points = match_stereo_points(
-            uv[0], desc[0], level[0], valid[0],
-            uv[1], desc[1], valid[1], cam, cfg)
+            uv_l, desc_l, level_l, valid_l,
+            uv_r, desc_r, valid_r, cam, cfg)
     else:
         points = empty_points(cfg.point_capacity)
 
@@ -245,6 +245,9 @@ def extract_stereo_features(img_l: jnp.ndarray, img_r: jnp.ndarray,
             gx, gy = sobel(im)
             _, desc_b = lbd.compute_lbd(gx, gy, segs.sp, segs.ep)
             return segs, desc_b
+        # L and R stay separate subgraphs (NOT a vmapped eye axis): XLA
+        # overlaps the two independent chains; folding them into batch-8
+        # launches measured 253 -> 203 fps
         segs_l, ldesc_l = detect_one(img_l)
         segs_r, ldesc_r = detect_one(img_r)
         lines = match_stereo_lines(segs_l, ldesc_l, segs_r, ldesc_r, cam, cfg)
