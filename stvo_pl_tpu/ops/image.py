@@ -130,3 +130,4 @@ def maxpool3(img: jnp.ndarray) -> jnp.ndarray:
         x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 1, 1, 1),
         [(0, 0), (1, 1), (1, 1), (0, 0)])
     return y.reshape(b + img.shape[-2:])
+

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 
 N_BANDS = 9
 BAND_W = 7           # widthOfBand_ = 7 (descriptor_custom.hpp:189-213)
-N_SAMPLES = 12       # samples along the line direction
+N_SAMPLES = 8        # samples along the line direction
 REGION_PX = N_BANDS * BAND_W   # 63-pixel-wide support region
 N_TAPS = 7           # perpendicular taps (stride ~10 px): the band statistics
                      # are Gaussian-weighted sums, so subsampling the region
@@ -89,22 +89,6 @@ def _binarization_pairs():
 _PAIRS = jnp.asarray(_binarization_pairs())  # [32, 2]
 
 
-def _sample_nearest2(img2: jnp.ndarray, x: jnp.ndarray,
-                     y: jnp.ndarray) -> jnp.ndarray:
-    """Nearest-neighbor sampling of a 2-channel field ([H, W, 2]).
-
-    The original 4-tap bilinear, per-field version was gather-bound
-    (~54 ms/image at reference budgets).  The LBD bands are
-    Gaussian-weighted *sums* over the support region, so nearest sampling
-    changes nothing the weighting doesn't already smooth; stacking (gx, gy)
-    channel-last halves the addressing work again (one index per 2-vector,
-    channels contiguous)."""
-    H, W, _ = img2.shape
-    xi = jnp.clip(jnp.round(x).astype(jnp.int32), 0, W - 1)
-    yi = jnp.clip(jnp.round(y).astype(jnp.int32), 0, H - 1)
-    return img2[yi, xi]
-
-
 @functools.partial(jax.jit, static_argnames=())
 def compute_lbd(gx: jnp.ndarray, gy: jnp.ndarray, sp: jnp.ndarray,
                 ep: jnp.ndarray):
@@ -130,8 +114,15 @@ def compute_lbd(gx: jnp.ndarray, gy: jnp.ndarray, sp: jnp.ndarray,
            + do[:, None, None, :] * off[None, None, :, None])
     px = pts[..., 0]
     py = pts[..., 1]
+    # nearest-neighbor channel-paired gather: (gx, gy) stacked channel-last
+    # hits XLA's vectorized gather path (one index per 2-vector).  Packing
+    # the pair as bf16 in one u32 to halve the bytes measured SLOWER — the
+    # vectorized path keys on the trailing 2-channel layout.
+    H, W = gx.shape
     g2 = jnp.stack([gx, gy], axis=-1)               # [H, W, 2]
-    sg = _sample_nearest2(g2, px, py)               # [K, S, R, 2]
+    xi = jnp.clip(jnp.round(px).astype(jnp.int32), 0, W - 1)
+    yi = jnp.clip(jnp.round(py).astype(jnp.int32), 0, H - 1)
+    sg = g2[yi, xi]                                 # [K, S, R, 2]
     sgx = sg[..., 0]
     sgy = sg[..., 1]
 

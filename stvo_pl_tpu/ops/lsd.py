@@ -257,7 +257,9 @@ def _refine_segments(ang_field, mag, xs, ys, xe, ye, valid,
     # ONE channel-paired gather: two separate 2-D gathers of ang and mag
     # lower to a ~100 ns/element scalar path on TPU (measured 4.6 ms/step,
     # the dominant cost of the whole detector); pairing (ang, mag)
-    # channel-last vectorizes the same lookups ~8x
+    # channel-last vectorizes the same lookups ~8x.  (Packing the pair as
+    # bf16 in one u32 to halve the bytes measured SLOWER — XLA's vectorized
+    # gather path keys on the trailing 2-channel layout.)
     field2 = jnp.stack([ang_field, mag], axis=-1)  # [H, W, 2]
     am = field2[py, px]                            # [K, S, O, 2]
     a = am[..., 0]
