@@ -241,7 +241,10 @@ def extract_stereo_features(img_l: jnp.ndarray, img_r: jnp.ndarray,
                 im, min_line_length, capacity=cfg.line_capacity,
                 n_dirs=cfg.lsd_n_dirs, ang_th_deg=cfg.lsd_ang_th,
                 quant=cfg.lsd_quant, density_th=cfg.lsd_density_th,
-                refine=not cfg.use_fld_lines)
+                refine=not cfg.use_fld_lines,
+                # NFA validation only in advanced-refinement mode, like
+                # cv::LSD (log_eps ignored otherwise — src/config.cpp:105)
+                log_eps=(cfg.lsd_log_eps if cfg.lsd_refine >= 2 else -1.0))
             gx, gy = sobel(im)
             _, desc_b = lbd.compute_lbd(gx, gy, segs.sp, segs.ep)
             return segs, desc_b
@@ -294,7 +297,8 @@ def extract_rgbd_features(img: jnp.ndarray, depth: jnp.ndarray,
         segs = lsd.detect_line_segments(
             img, min_line_length, capacity=cfg.line_capacity,
             n_dirs=cfg.lsd_n_dirs, ang_th_deg=cfg.lsd_ang_th,
-            quant=cfg.lsd_quant, density_th=cfg.lsd_density_th)
+            quant=cfg.lsd_quant, density_th=cfg.lsd_density_th,
+            log_eps=(cfg.lsd_log_eps if cfg.lsd_refine >= 2 else -1.0))
         gx, gy = sobel(img)
         _, ldesc = lbd.compute_lbd(gx, gy, segs.sp, segs.ep)
         ds = _sample_depth(depth, segs.sp)

@@ -295,12 +295,41 @@ def _refine_segments(ang_field, mag, xs, ys, xe, ye, valid,
     ep_r = mean + u_fit * jnp.sum((ep - mean) * u_fit, axis=-1, keepdims=True)
 
     density = jnp.mean(good.astype(jnp.float32), axis=1)
+    # per-tap aligned fraction across the whole sampled rectangle — the
+    # alignment statistic the a-contrario (NFA) validation consumes
+    align_frac = jnp.mean((w > 0).astype(jnp.float32), axis=(1, 2))
     ok = valid & (density > 0.0)
     # fall back to raw endpoints when the fit degenerates
     degen = ~jnp.isfinite(theta_fit) | (wtot <= 1e-5)
     sp_r = jnp.where(degen[:, None], sp, sp_r)
     ep_r = jnp.where(degen[:, None], ep, ep_r)
-    return sp_r, ep_r, density, ok
+    return sp_r, ep_r, density, ok, align_frac
+
+
+def nfa_neg_log10(length: jnp.ndarray, align_frac: jnp.ndarray,
+                  H: int, W: int, tol: float, width: int) -> jnp.ndarray:
+    """-log10(NFA) of each candidate under the a-contrario model.
+
+    The reference's advanced-refinement path validates rectangles with the
+    Helmholtz principle (cv::LSD NFA, also EDLine's LineValidation_,
+    binary_descriptor_custom.cpp:2645): NFA = N_tests * P[B(n, k, p) >= k]
+    with N_tests = (WH)^{5/2}, p = tol/pi, n rectangle pixels, k aligned
+    pixels.  Dense reformulation: k/n is the sampled aligned fraction, and
+    the binomial tail is bounded by the Chernoff/KL form
+    log10 P <= -n * KL_10(r || p), exact enough for a detection threshold
+    (the reference thresholds at log_eps = 1, i.e. one order of magnitude).
+
+    p is the probability a uniformly-random undirected angle falls within
+    +-tol of the line direction: 2*tol/pi (for tol = 22.5 deg, p = 0.25).
+    """
+    p = 2.0 * tol / math.pi
+    r = jnp.clip(align_frac, 1e-4, 1.0 - 1e-4)
+    n = jnp.maximum(jnp.round(length), 1.0) * width
+    kl10 = (r * jnp.log10(r / p)
+            + (1.0 - r) * jnp.log10((1.0 - r) / (1.0 - p)))
+    tail = jnp.where(r > p, n * kl10, 0.0)
+    n_tests = 2.5 * math.log10(float(H) * float(W))
+    return tail - n_tests
 
 
 def _merge_collinear(sp, ep, length, valid, ang_tol: float,
@@ -406,7 +435,7 @@ def _suppress_duplicates(sp, ep, resp, valid, perp_tol: float,
 
 @functools.partial(jax.jit, static_argnames=(
     "capacity", "n_dirs", "k_per_dir", "ang_th_deg", "quant", "density_th",
-    "sigma", "refine"))
+    "sigma", "refine", "log_eps"))
 def detect_line_segments(
     img: jnp.ndarray,
     min_length: float,
@@ -418,11 +447,18 @@ def detect_line_segments(
     density_th: float = 0.6,
     sigma: float = 0.8,
     refine: bool = True,
+    log_eps: float = -1.0,
 ) -> LineSegments:
     """Full dense line-segment detection on one grayscale image [H, W].
 
     min_length may be a traced scalar (reference: llength_th =
     min_line_length * min(W, H), src/stereoFrameHandler.cpp:39).
+
+    log_eps >= 0 adds the a-contrario NFA validation of the reference's
+    advanced-refinement mode (lsd_refine >= 2: cv::LSD log_eps threshold /
+    EDLine LineValidation_): keep a segment iff -log10(NFA) >= log_eps.
+    The default -1 disables it, matching lsd_refine = 0 (src/config.cpp:105)
+    where OpenCV ignores log_eps.
     """
     H, W = img.shape
     tol = math.radians(ang_th_deg)
@@ -498,9 +534,13 @@ def detect_line_segments(
     sp, ep, v = take(sp), take(ep), top > 0
 
     if refine:
-        sp, ep, density, v = _refine_segments(
+        sp, ep, density, v, align_frac = _refine_segments(
             ang, mag, sp[:, 0], sp[:, 1], ep[:, 0], ep[:, 1], v, tol)
         v = v & (density >= density_th)
+        if log_eps >= 0:
+            nl10 = nfa_neg_log10(jnp.linalg.norm(ep - sp, axis=-1),
+                                 align_frac, H, W, tol, width=5)
+            v = v & (nl10 >= log_eps)
         # refined fragments of one off-bin line are now truly collinear:
         # merge them into full segments, then drop remaining duplicates
         length = jnp.linalg.norm(ep - sp, axis=-1)

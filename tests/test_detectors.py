@@ -147,3 +147,32 @@ def test_lsd_empty_image():
     out = lsd_ops.detect_line_segments(img, min_length=20.0, capacity=8,
                                        n_dirs=8, k_per_dir=8)
     assert not bool(np.asarray(out.valid).any())
+
+
+def test_lsd_nfa_validation():
+    """log_eps >= 0 turns on the a-contrario NFA gate (the reference's
+    advanced-refinement validation): planted structure must survive it,
+    while pure-noise detections are suppressed."""
+    segs = [(20, 20, 120, 30), (80, 10, 85, 110)]
+    img = line_image(segs)
+    out = lsd_ops.detect_line_segments(jnp.asarray(img), min_length=25.0,
+                                       capacity=16, n_dirs=12, k_per_dir=16,
+                                       log_eps=1.0)
+    sp = np.asarray(out.sp)[np.asarray(out.valid)]
+    ep = np.asarray(out.ep)[np.asarray(out.valid)]
+    assert len(sp) >= len(segs)
+    for seg in segs:
+        errs = [seg_endpoint_error(s, e, seg) for s, e in zip(sp, ep)]
+        assert min(errs) < 6.0, (seg, min(errs))
+
+    rng = np.random.default_rng(3)
+    noise = rng.uniform(0, 255, (128, 160)).astype(np.float32)
+    base = lsd_ops.detect_line_segments(jnp.asarray(noise), min_length=20.0,
+                                        capacity=16, n_dirs=12, k_per_dir=16)
+    gated = lsd_ops.detect_line_segments(jnp.asarray(noise), min_length=20.0,
+                                         capacity=16, n_dirs=12, k_per_dir=16,
+                                         log_eps=1.0)
+    n_base = int(np.asarray(base.valid).sum())
+    n_gated = int(np.asarray(gated.valid).sum())
+    assert n_gated <= n_base
+    assert n_gated <= 2, f"NFA gate kept {n_gated} noise detections"
