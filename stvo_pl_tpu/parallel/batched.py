@@ -41,17 +41,40 @@ def vo_step_batched(state, imgs_l, imgs_r, cam: cam_ops.StereoCamera,
     )(state, imgs_l, imgs_r)
 
 
+def _shard_map(f, mesh, in_specs, out_specs):
+    # check_vma=False: the VO body has collective-free scan/while carries
+    # whose initial values are unvarying constants; the varying-axes checker
+    # would demand pcasts on every such carry for no semantic gain
+    if hasattr(jax, "shard_map"):
+        return jax.shard_map(f, mesh=mesh, in_specs=in_specs,
+                             out_specs=out_specs, check_vma=False)
+    from jax.experimental.shard_map import shard_map
+    return shard_map(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                     check_rep=False)
+
+
 def make_sharded_vo_step(mesh, cam: cam_ops.StereoCamera, cfg: VOConfig):
     """jit-compiled batched VO step with the batch axis sharded over the
     mesh's data axis.  Batch size must be a multiple of the data-axis size.
+
+    The step body runs under shard_map, NOT sharding propagation: sequences
+    are independent, so every op must stay local to its shard.  Left to
+    GSPMD, the pipeline's many sort/top_k ops get all-gathered and run
+    REPLICATED on every device (XLA cannot partition sort/TopK custom-calls
+    even along untouched dimensions) — measured as an 8x total-throughput
+    collapse at 2 devices.  shard_map makes locality structural: the body
+    sees the [B/n_data] per-device slice and GSPMD never gets a say.
     """
     batch_sharding = NamedSharding(mesh, P(DATA_AXIS))
+    spec = P(DATA_AXIS)
 
-    @jax.jit
-    def step(state, imgs_l, imgs_r):
-        # shardings propagate from the placed inputs; every per-sequence
-        # subcomputation stays local to its shard (no collectives)
+    def local_step(state, imgs_l, imgs_r):
         return vo_step_batched(state, imgs_l, imgs_r, cam, cfg)
+
+    step = jax.jit(_shard_map(local_step, mesh,
+                              in_specs=(spec, spec, spec),
+                              out_specs=(spec, spec)),
+                   donate_argnums=(0,))
 
     def place(state, imgs_l, imgs_r):
         """Device_put inputs with the batch axis sharded."""
