@@ -319,18 +319,28 @@ def remove_outliers(DT, pm: PointMatches, lm: LineMatches, cam,
                     cfg: VOConfig):
     """MAD-threshold outlier rejection (removeOutliers, :988-1067): residual
     (x sqrt(sigma2)) per feature, trimmed mean + MAD stdv, feature is an
-    outlier when |res - mean| > inlier_k * stdv."""
+    outlier when |res - mean| > inlier_k * stdv.
+
+    Deliberate improvement: the threshold gets an absolute floor (1e-4 px).
+    The reference has none, so on a (near-)exact solution — residuals at
+    round-off scale, MAD stdv ~ 0 — it would reject essentially every
+    feature and coast; its f64 round-off jitter just happens to hide the
+    degeneracy.  The floor is far below any real observation noise, so
+    behavior on noisy data is unchanged."""
+    _TH_FLOOR = 1e-4
     if cfg.has_points:
         p_norm, _, _ = _point_terms(DT, pm, cam, cfg.homog_th)
         res_p = p_norm * jnp.sqrt(pm.sigma2)
         mean_p, stdv_p = robust.masked_mean_stdv_mad(res_p, pm.valid)
-        out_p = jnp.abs(res_p - mean_p) > cfg.inlier_k * stdv_p
+        th_p = jnp.maximum(cfg.inlier_k * stdv_p, _TH_FLOOR)
+        out_p = jnp.abs(res_p - mean_p) > th_p
         pm = pm._replace(inlier=pm.inlier & ~(out_p & pm.valid))
     if cfg.has_lines:
         l_norm, _, _, _ = _line_terms(DT, lm, cam, cfg.homog_th)
         res_l = l_norm * jnp.sqrt(lm.sigma2)
         mean_l, stdv_l = robust.masked_mean_stdv_mad(res_l, lm.valid)
-        out_l = jnp.abs(res_l - mean_l) > cfg.inlier_k * stdv_l
+        th_l = jnp.maximum(cfg.inlier_k * stdv_l, _TH_FLOOR)
+        out_l = jnp.abs(res_l - mean_l) > th_l
         lm = lm._replace(inlier=lm.inlier & ~(out_l & lm.valid))
     return pm, lm
 

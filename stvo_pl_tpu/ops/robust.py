@@ -86,4 +86,14 @@ def robust_weight(norm_res: jnp.ndarray, kernel: str = "cauchy") -> jnp.ndarray:
                          1.0 / jnp.maximum(norm_res, 1e-12))
     if kernel == "welsch":
         return jnp.exp(-r2)
+    if kernel == "tstudent":
+        # Student-t M-estimator weight ∝ (nu+1)/(nu+r^2), nu=5 — the
+        # t-distribution weighting of the ICRA'16 PL-StVO paper's
+        # probabilistic formulation (the C++ code ships Cauchy instead).
+        # The constant factor cancels in the GN normal equations; it is
+        # chosen as 1/(nu+r^2) so the weighted error w*r^2 stays < 1 and
+        # the reference's err∈[0,1] health gate (isGoodSolution, :292-305)
+        # keeps its calibration (Cauchy has the same bounded-loss property).
+        nu = 5.0
+        return 1.0 / (nu + r2)
     raise ValueError(f"unknown robust kernel: {kernel}")

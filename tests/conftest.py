@@ -23,9 +23,14 @@ import pytest  # noqa: E402
 import numpy as np  # noqa: E402
 
 
-@pytest.fixture(scope="session")
-def rng():
-    return np.random.default_rng(0)
+@pytest.fixture()
+def rng(request):
+    # Function-scoped with a per-test seed derived from the test name, so a
+    # test's draws do not depend on which other tests ran before it (a
+    # session-scoped stream made results depend on pytest selection scope).
+    seed = int.from_bytes(request.node.name.encode()[:8].ljust(8, b"\0"),
+                          "little") % (2**31)
+    return np.random.default_rng(seed)
 
 
 def pytest_configure(config):

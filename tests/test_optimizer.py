@@ -162,6 +162,20 @@ def test_robust_mode(rng):
     assert np.abs(np.asarray(est.DT)[:3, 3] - T_ref[:3, 3]).max() < 0.03
 
 
+def test_tstudent_kernel(rng):
+    # t-distribution robust weights (ICRA'16 paper's probabilistic
+    # formulation; the C++ code ships Cauchy) drive the same optimizer
+    cfg = CFG.replace(robust_kernel="tstudent")
+    T_cp = small_motion()
+    # nu=5 t-weights keep ~5x more relative weight on gross outliers than
+    # Cauchy, so the bias envelope under 10% gross outliers is wider
+    pm = synth_points(rng, 128, 100, T_cp, noise=0.3, n_outliers=10)
+    est, _, _ = run(pm, empty_lines(8), cfg)
+    assert bool(est.good)
+    T_ref = np.asarray(se3.inverse_se3(T_cp))
+    assert np.abs(np.asarray(est.DT)[:3, 3] - T_ref[:3, 3]).max() < 0.05
+
+
 def test_lm_mode(rng):
     cfg = CFG.replace(optim_mode=2)
     T_cp = small_motion()

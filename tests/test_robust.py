@@ -91,3 +91,5 @@ def test_other_kernels():
                        [1.0, 1 / 1.5])
     assert np.allclose(np.asarray(robust.robust_weight(r, "welsch")),
                        np.exp(-np.asarray(r) ** 2))
+    assert np.allclose(np.asarray(robust.robust_weight(r, "tstudent")),
+                       1.0 / (5.0 + np.asarray(r) ** 2))
