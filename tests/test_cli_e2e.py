@@ -1,0 +1,83 @@
+"""CLI end-to-end on an on-disk dataset: images + dataset_params.yaml ->
+trajectory files + plot.  Exercises the whole reference app surface
+(app/imagesStVO.cpp:39-136): dataset discovery, numeric sort, decimation,
+config loading, per-frame telemetry, trajectory output."""
+
+import os
+
+import numpy as np
+import pytest
+import jax
+
+from stvo_pl_tpu.ops import camera as cam_ops
+from stvo_pl_tpu.utils import synthetic
+
+CAM = cam_ops.StereoCamera(fx=160.0, fy=160.0, cx=120.0, cy=90.0,
+                           b=0.3, width=240, height=180)
+N_FRAMES = 5
+
+
+@pytest.fixture(scope="module")
+def dataset_dir(tmp_path_factory):
+    from PIL import Image
+    root = tmp_path_factory.mktemp("kitti_like")
+    (root / "image_0").mkdir()
+    (root / "image_1").mkdir()
+
+    key = jax.random.PRNGKey(3)
+    scene = synthetic.make_scene(key, n_points=260, n_lines=24,
+                                 extent=(14.0, 8.0, 40.0), z_near=3.0)
+    poses = synthetic.smooth_trajectory(N_FRAMES, speed=0.25)
+    seq_l, seq_r = synthetic.render_sequence(scene, poses, CAM)
+    for i in range(N_FRAMES):
+        for sub, seq in (("image_0", seq_l), ("image_1", seq_r)):
+            arr = np.clip(np.asarray(seq[i]), 0, 255).astype(np.uint8)
+            Image.fromarray(arr).save(root / sub / f"{i:06d}.png")
+
+    (root / "dataset_params.yaml").write_text(
+        "images_subfolder_l: image_0/\n"
+        "images_subfolder_r: image_1/\n"
+        "cam0:\n"
+        "  cam_model: Pinhole\n"
+        f"  cam_width: {CAM.width}\n"
+        f"  cam_height: {CAM.height}\n"
+        f"  cam_fx: {CAM.fx}\n"
+        f"  cam_fy: {CAM.fy}\n"
+        f"  cam_cx: {CAM.cx}\n"
+        f"  cam_cy: {CAM.cy}\n"
+        "  cam_d0: 0.0\n  cam_d1: 0.0\n  cam_d2: 0.0\n  cam_d3: 0.0\n"
+        f"  cam_bl: {CAM.b}\n")
+
+    (root / "cfg.yaml").write_text(
+        "orb_nfeatures: 300\norb_nlevels: 2\nlsd_nfeatures: 48\n"
+        "min_features: 8\nfast_feat_th: 20\nlsd_n_dirs: 8\n")
+    return root
+
+
+def test_cli_full_run(dataset_dir, tmp_path):
+    from stvo_pl_tpu import cli
+    traj = tmp_path / "traj_tum.txt"
+    kitti = tmp_path / "traj_kitti.txt"
+    plot = tmp_path / "run.png"
+    poses = cli.main([str(dataset_dir), "-c", str(dataset_dir / "cfg.yaml"),
+                      "-t", str(traj), "--kitti-out", str(kitti),
+                      "--plot", str(plot), "--quiet"])
+    assert poses.shape == (N_FRAMES, 4, 4)
+    assert np.isfinite(poses).all()
+    # some actual motion was estimated
+    assert np.linalg.norm(poses[-1][:3, 3]) > 0.05
+    # TUM: one line of 8 floats per frame
+    lines = traj.read_text().strip().splitlines()
+    assert len(lines) == N_FRAMES and len(lines[0].split()) == 8
+    # KITTI: 12 floats per frame
+    klines = kitti.read_text().strip().splitlines()
+    assert len(klines) == N_FRAMES and len(klines[0].split()) == 12
+    assert plot.stat().st_size > 0
+
+
+def test_cli_decimation(dataset_dir):
+    from stvo_pl_tpu import cli
+    poses = cli.main([str(dataset_dir), "-c", str(dataset_dir / "cfg.yaml"),
+                      "-o", "1", "-s", "2", "--quiet"])
+    # frames 1, 3 of 5
+    assert poses.shape[0] == 2
