@@ -61,7 +61,7 @@ def main(argv=None):
     state = frontend.init_state(cfg)
     poses = []
     stats = []
-    for i, (img_l, img_r) in enumerate(seq):
+    for i, (img_l, img_r) in enumerate(seq.prefetch()):
         t0 = time.perf_counter()
         state, telem = frontend.vo_step(
             state, jnp.asarray(img_l), jnp.asarray(img_r), cam, cfg)

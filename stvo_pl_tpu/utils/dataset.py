@@ -149,3 +149,22 @@ class ImageSequence:
     def __iter__(self):
         for i in range(len(self)):
             yield self.frame(i)
+
+    def prefetch(self, n_threads: int = 2):
+        """Iterate rectified pairs via the native C++ prefetching loader
+        (decode + remap on a thread pool, overlapped with device compute).
+        Falls back to the Python path when the native library is
+        unavailable."""
+        try:
+            from stvo_pl_tpu.native import loader as native_loader
+            ld = native_loader.PrefetchingLoader(
+                self.paths_l, self.paths_r,
+                self.calib.cam.width, self.calib.cam.height,
+                self.calib.map_l, self.calib.map_r, n_threads=n_threads)
+        except Exception:
+            yield from self
+            return
+        try:
+            yield from ld
+        finally:
+            ld.close()

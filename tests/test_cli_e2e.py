@@ -75,6 +75,17 @@ def test_cli_full_run(dataset_dir, tmp_path):
     assert plot.stat().st_size > 0
 
 
+def test_prefetch_matches_python_path(dataset_dir):
+    from stvo_pl_tpu.utils.dataset import ImageSequence
+    seq = ImageSequence(str(dataset_dir))
+    py = list(seq)
+    nat = list(seq.prefetch())
+    assert len(py) == len(nat) == N_FRAMES
+    for (pl, pr), (ql, qr) in zip(py, nat):
+        np.testing.assert_allclose(pl, ql, atol=1.0)
+        np.testing.assert_allclose(pr, qr, atol=1.0)
+
+
 def test_cli_decimation(dataset_dir):
     from stvo_pl_tpu import cli
     poses = cli.main([str(dataset_dir), "-c", str(dataset_dir / "cfg.yaml"),
