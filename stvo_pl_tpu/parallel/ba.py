@@ -212,7 +212,7 @@ def make_sharded_ba(mesh, cam, n_iters: int = 8, damping: float = 1e-4,
     global reduced camera system; the [6K, 6K] solve is replicated (cheaper
     than gathering); landmark updates stay local to each shard.
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     def one_iter(poses_cw, X, obs, mask, sigma2):
         prob = BAProblem(X=X, obs=obs, mask=mask, sigma2=sigma2)
@@ -251,5 +251,5 @@ def make_sharded_ba(mesh, cam, n_iters: int = 8, damping: float = 1e-4,
         in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
                   P(DATA_AXIS)),
         out_specs=(P(), P(DATA_AXIS), P()),
-        check_rep=False)
+        check_vma=False)
     return jax.jit(sharded)

@@ -48,7 +48,7 @@ def _shard_map(f, mesh, in_specs, out_specs):
     if hasattr(jax, "shard_map"):
         return jax.shard_map(f, mesh=mesh, in_specs=in_specs,
                              out_specs=out_specs, check_vma=False)
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     return shard_map(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
                      check_rep=False)
 

@@ -28,10 +28,7 @@ from stvo_pl_tpu.ops import hamming
 from stvo_pl_tpu.ops.matching import BIG, MatchResult
 from stvo_pl_tpu.parallel.mesh import MODEL_AXIS
 
-try:  # jax >= 0.8 moved shard_map out of experimental
-    from jax import shard_map
-except ImportError:  # pragma: no cover
-    from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 
 def tp_match(desc1: jnp.ndarray, valid1: jnp.ndarray,

@@ -77,6 +77,36 @@ def test_vo_first_frame_is_identity():
     assert bool(state.initialized)
 
 
+def test_vo_recovers_after_corrupted_frame():
+    """Fault injection: one corrupted (textureless) frame mid-sequence.
+    The reference's failure path (isGoodSolution gate + identity coast,
+    stereoFrameHandler.cpp:292-305,383-390) lets tracking resume as soon
+    as features return; verify the coast AND the re-lock, not just the
+    coast (test_vo_coasts_on_textureless_frames covers starvation only)."""
+    cfg = CFG_SMALL.replace(has_lines=False)
+    n = 8  # same (T, cfg) signature as the tracking test -> reuses its jit
+    poses, seq_l, seq_r = make_sequence(n, cfg)
+    blank = jnp.full_like(seq_l[0], 50.0)
+    seq_l = seq_l.at[3].set(blank)
+    seq_r = seq_r.at[3].set(blank)
+
+    state = frontend.init_state(cfg)
+    final, telem = frontend.vo_scan(state, seq_l, seq_r, CAM, cfg)
+
+    good = np.asarray(telem.good)
+    # frame 3 (blank curr) and frame 4 (blank prev) cannot track
+    assert not good[3] and not good[4], good
+    # tracking re-locks once two feature-rich frames are adjacent again
+    assert good[6] and good[7], good
+    est = np.asarray(telem.Tfw)
+    assert np.isfinite(est).all()
+    # after recovery the *relative* motion is correct again (the absolute
+    # pose keeps the offset from the coasted frames, as in the reference)
+    t_rmse, r_rmse = metrics.rpe(est[5:], np.asarray(poses)[5:], delta=1)
+    assert t_rmse < 0.05, t_rmse
+    assert r_rmse < 0.5, r_rmse
+
+
 def test_vo_coasts_on_textureless_frames():
     """Feature starvation must not crash or corrupt the pose — the
     reference coasts with identity increments (:383-390)."""

@@ -1,0 +1,114 @@
+"""Unit tests for trajectory metrics (utils/metrics.py).
+
+The reference ships no evaluation code (SURVEY.md §6); these pin the
+standard KITTI/TUM ATE/RPE definitions our benchmarks depend on.
+"""
+
+import numpy as np
+import pytest
+
+from stvo_pl_tpu.utils import metrics
+
+
+def _traj(n=40, seed=0):
+    rng = np.random.default_rng(seed)
+    poses = np.tile(np.eye(4), (n, 1, 1))
+    t = np.cumsum(rng.normal(0, 0.3, (n, 3)), axis=0)
+    poses[:, :3, 3] = t
+    # small random rotations composed along the path
+    ang = np.cumsum(rng.normal(0, 0.02, n))
+    for i in range(n):
+        c, s = np.cos(ang[i]), np.sin(ang[i])
+        poses[i, :3, :3] = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+    return poses
+
+
+def _rigid(seed=1, scale=1.0):
+    rng = np.random.default_rng(seed)
+    A = rng.normal(size=(3, 3))
+    Q, _ = np.linalg.qr(A)
+    if np.linalg.det(Q) < 0:
+        Q[:, 0] *= -1
+    t = rng.normal(0, 5.0, 3)
+    return scale * Q, t, Q
+
+
+def test_umeyama_recovers_rigid_transform():
+    X = np.random.default_rng(2).normal(size=(50, 3))
+    sR, t, R = _rigid(seed=3)
+    Y = X @ R.T + t
+    s_est, R_est, t_est = metrics.umeyama_alignment(X, Y)
+    assert s_est == 1.0
+    np.testing.assert_allclose(R_est, R, atol=1e-9)
+    np.testing.assert_allclose(t_est, t, atol=1e-9)
+
+
+def test_umeyama_with_scale():
+    X = np.random.default_rng(4).normal(size=(50, 3))
+    _, t, R = _rigid(seed=5)
+    Y = 2.5 * X @ R.T + t
+    s, R_est, t_est = metrics.umeyama_alignment(X, Y, with_scale=True)
+    assert abs(s - 2.5) < 1e-9
+    np.testing.assert_allclose((s * (R_est @ X.T)).T + t_est, Y, atol=1e-8)
+
+
+def test_ate_zero_for_identical_and_invariant_to_rigid_offset():
+    poses = _traj()
+    assert metrics.ate_rmse(poses, poses) < 1e-12
+    # a rigidly transformed estimate aligns back to zero error
+    _, t, R = _rigid(seed=6)
+    T = np.eye(4)
+    T[:3, :3] = R
+    T[:3, 3] = t
+    est = np.einsum("ij,njk->nik", T, poses)
+    assert metrics.ate_rmse(est, poses, align=True) < 1e-9
+    assert metrics.ate_rmse(est, poses, align=False) > 1.0
+
+
+def test_ate_known_magnitude_without_alignment():
+    poses = _traj()
+    est = poses.copy()
+    est[:, 0, 3] += 0.5  # constant 0.5 m offset -> RMSE exactly 0.5
+    assert abs(metrics.ate_rmse(est, poses, align=False) - 0.5) < 1e-12
+
+
+def test_rpe_perfect_and_perturbed():
+    poses = _traj()
+    t_rmse, r_rmse = metrics.rpe(poses, poses)
+    assert t_rmse < 1e-12 and r_rmse < 1e-6
+    # pure-translation trajectory with an extra 10 mm z step per frame:
+    # every relative pose is off by exactly 10 mm
+    straight = np.tile(np.eye(4), (20, 1, 1))
+    straight[:, 2, 3] = np.arange(20) * 0.5
+    est = straight.copy()
+    est[:, 2, 3] += np.arange(20) * 0.01
+    t_rmse, _ = metrics.rpe(est, straight, delta=1)
+    assert abs(t_rmse - 0.01) < 1e-12
+
+
+def test_trajectory_length_straight_line():
+    poses = np.tile(np.eye(4), (11, 1, 1))
+    poses[:, 2, 3] = np.linspace(0, 10, 11)
+    assert abs(metrics.trajectory_length(poses) - 10.0) < 1e-12
+
+
+def test_write_kitti_roundtrip(tmp_path):
+    poses = _traj(n=7)
+    p = tmp_path / "traj.txt"
+    metrics.write_kitti(str(p), poses)
+    rows = np.loadtxt(p).reshape(-1, 3, 4)
+    np.testing.assert_allclose(rows, poses[:, :3, :4], rtol=1e-8)
+
+
+def test_write_tum_roundtrip(tmp_path):
+    pytest.importorskip("scipy")
+    from scipy.spatial.transform import Rotation
+    poses = _traj(n=7)
+    p = tmp_path / "traj_tum.txt"
+    metrics.write_tum(str(p), poses)
+    rows = np.loadtxt(p)
+    assert rows.shape == (7, 8)
+    np.testing.assert_allclose(rows[:, 1:4], poses[:, :3, 3], atol=1e-9)
+    for i in range(7):
+        R = Rotation.from_quat(rows[i, 4:8]).as_matrix()
+        np.testing.assert_allclose(R, poses[i, :3, :3], atol=1e-9)
