@@ -38,6 +38,10 @@ def build_argparser() -> argparse.ArgumentParser:
                     help="write trajectory (KITTI format)")
     ap.add_argument("--plot", default=None,
                     help="render trajectory + stats PNG")
+    ap.add_argument("--gt", default=None,
+                    help="ground-truth trajectory file (KITTI 12-col or "
+                         "TUM 8-col, auto-detected); prints ATE/RPE and "
+                         "overlays the plot")
     ap.add_argument("--quiet", action="store_true")
     return ap
 
@@ -88,9 +92,28 @@ def main(argv=None):
         from stvo_pl_tpu.utils.metrics import write_kitti
         write_kitti(args.kitti_out, poses)
         print(f"[stvo] trajectory -> {args.kitti_out}")
+    gt = None
+    if args.gt:
+        from stvo_pl_tpu.utils import metrics
+        gt = metrics.read_trajectory(args.gt)
+        # GT files cover the full sequence; the run may be decimated
+        idx = np.arange(args.offset, args.offset + len(poses) * args.step,
+                        args.step)
+        if len(gt) > idx[-1]:
+            gt = gt[idx]
+        if len(gt) == len(poses):
+            ate = metrics.ate_rmse(poses, gt)
+            t_rmse, r_rmse = metrics.rpe(poses, gt)
+            print(f"[stvo] ATE {ate:.4f} m   RPE {t_rmse * 1e3:.1f} mm / "
+                  f"{r_rmse:.4f} deg per frame "
+                  f"(path {metrics.trajectory_length(gt):.1f} m)")
+        else:
+            print(f"[stvo] GT length {len(gt)} != run length {len(poses)}; "
+                  f"skipping ATE")
+            gt = None
     if args.plot:
         from stvo_pl_tpu.utils.visualization import plot_run
-        plot_run(args.plot, poses, stats)
+        plot_run(args.plot, poses, stats, gt_poses=gt)
         print(f"[stvo] plot -> {args.plot}")
 
     ms = np.array([s["ms"] for s in stats][2:])

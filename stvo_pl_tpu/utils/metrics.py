@@ -86,3 +86,34 @@ def write_kitti(path: str, poses: np.ndarray):
         for T in poses:
             f.write(" ".join(f"{v:.9e}" for v in T[:3, :4].reshape(-1))
                     + "\n")
+
+
+def read_kitti(path: str) -> np.ndarray:
+    """KITTI trajectory file (12 floats per row) -> [T, 4, 4]."""
+    rows = np.loadtxt(path).reshape(-1, 3, 4)
+    poses = np.tile(np.eye(4), (len(rows), 1, 1))
+    poses[:, :3, :4] = rows
+    return poses
+
+
+def read_tum(path: str) -> np.ndarray:
+    """TUM trajectory file (t x y z qx qy qz qw) -> [T, 4, 4]."""
+    from scipy.spatial.transform import Rotation
+    rows = np.loadtxt(path).reshape(-1, 8)
+    poses = np.tile(np.eye(4), (len(rows), 1, 1))
+    poses[:, :3, 3] = rows[:, 1:4]
+    poses[:, :3, :3] = Rotation.from_quat(rows[:, 4:8]).as_matrix()
+    return poses
+
+
+def read_trajectory(path: str) -> np.ndarray:
+    """Load a trajectory file, auto-detecting KITTI (12 cols) vs TUM
+    (8 cols) layout."""
+    first = np.loadtxt(path, max_rows=1)
+    n = first.size
+    if n == 12:
+        return read_kitti(path)
+    if n == 8:
+        return read_tum(path)
+    raise ValueError(f"{path}: expected 12 (KITTI) or 8 (TUM) columns, "
+                     f"got {n}")

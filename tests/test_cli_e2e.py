@@ -51,17 +51,27 @@ def dataset_dir(tmp_path_factory):
     (root / "cfg.yaml").write_text(
         "orb_nfeatures: 300\norb_nlevels: 2\nlsd_nfeatures: 48\n"
         "min_features: 8\nfast_feat_th: 20\nlsd_n_dirs: 8\n")
+
+    from stvo_pl_tpu.utils import metrics
+    metrics.write_kitti(str(root / "gt.txt"), np.asarray(poses))
     return root
 
 
-def test_cli_full_run(dataset_dir, tmp_path):
+def test_cli_full_run(dataset_dir, tmp_path, capsys):
     from stvo_pl_tpu import cli
     traj = tmp_path / "traj_tum.txt"
     kitti = tmp_path / "traj_kitti.txt"
     plot = tmp_path / "run.png"
     poses = cli.main([str(dataset_dir), "-c", str(dataset_dir / "cfg.yaml"),
                       "-t", str(traj), "--kitti-out", str(kitti),
-                      "--plot", str(plot), "--quiet"])
+                      "--plot", str(plot), "--quiet",
+                      "--gt", str(dataset_dir / "gt.txt")])
+    # GT evaluation printed an ATE line with a sane value
+    out = capsys.readouterr().out
+    ate_lines = [l for l in out.splitlines() if "ATE" in l]
+    assert len(ate_lines) == 1, out
+    ate = float(ate_lines[0].split()[2])
+    assert ate < 0.2, ate_lines[0]
     assert poses.shape == (N_FRAMES, 4, 4)
     assert np.isfinite(poses).all()
     # some actual motion was estimated
