@@ -100,6 +100,23 @@ def test_write_kitti_roundtrip(tmp_path):
     np.testing.assert_allclose(rows, poses[:, :3, :4], rtol=1e-8)
 
 
+def test_read_trajectory_autodetect(tmp_path):
+    pytest.importorskip("scipy")
+    poses = _traj(n=6)
+    pk = tmp_path / "k.txt"
+    pt = tmp_path / "t.txt"
+    metrics.write_kitti(str(pk), poses)
+    metrics.write_tum(str(pt), poses)
+    np.testing.assert_allclose(metrics.read_trajectory(str(pk)), poses,
+                               atol=1e-8)
+    np.testing.assert_allclose(metrics.read_trajectory(str(pt)), poses,
+                               atol=1e-9)
+    bad = tmp_path / "bad.txt"
+    bad.write_text("1 2 3\n")
+    with pytest.raises(ValueError, match="12 .* or 8"):
+        metrics.read_trajectory(str(bad))
+
+
 def test_write_tum_roundtrip(tmp_path):
     pytest.importorskip("scipy")
     from scipy.spatial.transform import Rotation
