@@ -46,6 +46,40 @@ def build_argparser() -> argparse.ArgumentParser:
     return ap
 
 
+def _associate_gt(gt, gt_stamps, frame_stamps, args, n_poses):
+    """Select one GT row per run frame, or None (with a message) on failure.
+
+    KITTI GT (no time column) is strictly one row per source frame: index
+    association with the run's offset/step decimation.  TUM GT written by
+    our own write_tum also indexes by frame (integer stamps 0..N-1).  Real
+    TUM groundtruth.txt is asynchronous ~100 Hz mocap — there, rows are
+    matched to frame timestamps by nearest neighbor, never by index.
+    """
+    from stvo_pl_tpu.utils import metrics
+
+    per_frame_indexed = gt_stamps is None or (
+        len(gt_stamps) and np.all(gt_stamps == np.arange(len(gt_stamps))))
+    if per_frame_indexed:
+        idx = np.arange(args.offset, args.offset + n_poses * args.step,
+                        args.step)
+        if len(gt) > idx[-1]:
+            gt = gt[idx]
+        if len(gt) == n_poses:
+            return gt
+        print(f"[stvo] GT length {len(gt)} != run length {n_poses}; "
+              f"skipping ATE")
+        return None
+    # asynchronous (timestamped) GT: associate by time
+    try:
+        idx = metrics.associate_by_stamps(
+            gt_stamps, np.asarray(frame_stamps[:n_poses], dtype=np.float64))
+    except ValueError as e:
+        print(f"[stvo] cannot associate timestamped GT to frames: {e}; "
+              f"skipping ATE")
+        return None
+    return gt[idx]
+
+
 def main(argv=None):
     args = build_argparser().parse_args(argv)
 
@@ -95,22 +129,16 @@ def main(argv=None):
     gt = None
     if args.gt:
         from stvo_pl_tpu.utils import metrics
-        gt = metrics.read_trajectory(args.gt)
-        # GT files cover the full sequence; the run may be decimated
-        idx = np.arange(args.offset, args.offset + len(poses) * args.step,
-                        args.step)
-        if len(gt) > idx[-1]:
-            gt = gt[idx]
-        if len(gt) == len(poses):
+        gt, gt_stamps = metrics.read_trajectory(args.gt, return_stamps=True)
+        gt = _associate_gt(gt, gt_stamps, seq.stamps, args, len(poses))
+        if gt is not None:
             ate = metrics.ate_rmse(poses, gt)
             t_rmse, r_rmse = metrics.rpe(poses, gt)
+            unit = ("frame" if args.step == 1
+                    else f"{args.step}-frame step")
             print(f"[stvo] ATE {ate:.4f} m   RPE {t_rmse * 1e3:.1f} mm / "
-                  f"{r_rmse:.4f} deg per frame "
+                  f"{r_rmse:.4f} deg per {unit} "
                   f"(path {metrics.trajectory_length(gt):.1f} m)")
-        else:
-            print(f"[stvo] GT length {len(gt)} != run length {len(poses)}; "
-                  f"skipping ATE")
-            gt = None
     if args.plot:
         from stvo_pl_tpu.utils.visualization import plot_run
         plot_run(args.plot, poses, stats, gt_poses=gt)

@@ -194,8 +194,7 @@ def keyframe_update(state: VOState, est: optimizer.PoseEstimate,
     T_prevKF = jnp.where(is_kf, jnp.eye(4, dtype=dtype), state.T_prevKF)
     cov_next = jnp.where(is_kf, jnp.zeros((6, 6), dtype), cov_acc)
     n_next = jnp.where(is_kf, 0, state.N_prevKF_currF + 1).astype(jnp.int32)
-    return is_kf, T_prevKF, cov_next, entropy_first, is_kf, n_next, \
-        entropy_ratio
+    return is_kf, T_prevKF, cov_next, entropy_first, n_next, entropy_ratio
 
 
 # ---------------------------------------------------------------------------
@@ -246,7 +245,7 @@ def _track_and_update(state: VOState, feats, cam, cfg: VOConfig):
 
     est_for_kf = est._replace(DT=DT_commit, DT_cov=cov_commit,
                               good=good & ~first)
-    (is_kf, T_prevKF, cov_kf, entropy_first, prev_f_iskf, n_kf,
+    (is_kf, T_prevKF, cov_kf, entropy_first, n_kf,
      entropy_ratio) = keyframe_update(state, est_for_kf, Tfw_new, cfg)
 
     fast_th_new = jnp.where(
@@ -262,7 +261,7 @@ def _track_and_update(state: VOState, feats, cam, cfg: VOConfig):
         initialized=jnp.asarray(True),
         T_prevKF=T_prevKF, cov_prevKF_currF=cov_kf,
         entropy_first_prevKF=entropy_first,
-        prev_f_iskf=prev_f_iskf, N_prevKF_currF=n_kf)
+        prev_f_iskf=is_kf, N_prevKF_currF=n_kf)
 
     telem = StepTelemetry(
         Tfw=Tfw_new, DT=DT_commit, DT_cov_eig=est.DT_cov_eig,

@@ -264,9 +264,7 @@ def _refine_segments(ang_field, mag, xs, ys, xe, ye, valid,
     am = field2[py, px]                            # [K, S, O, 2]
     a = am[..., 0]
     m = am[..., 1]
-    align = _angle_dist_mod_pi(a, 0.0)  # placeholder, computed per-seg below
     # alignment with THIS segment's direction (undirected)
-    dist = jnp.abs(a[..., None] * 0)  # shape helper (unused)
     da = jnp.abs(a - seg_ang[:, None, None]) % jnp.pi
     da = jnp.minimum(da, jnp.pi - da)
     w = jnp.where(da < tol, m, 0.0)               # [K, S, O]

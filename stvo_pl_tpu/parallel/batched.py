@@ -45,12 +45,8 @@ def _shard_map(f, mesh, in_specs, out_specs):
     # check_vma=False: the VO body has collective-free scan/while carries
     # whose initial values are unvarying constants; the varying-axes checker
     # would demand pcasts on every such carry for no semantic gain
-    if hasattr(jax, "shard_map"):
-        return jax.shard_map(f, mesh=mesh, in_specs=in_specs,
-                             out_specs=out_specs, check_vma=False)
-    from jax import shard_map
-    return shard_map(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
-                     check_rep=False)
+    return jax.shard_map(f, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs, check_vma=False)
 
 
 def make_sharded_vo_step(mesh, cam: cam_ops.StereoCamera, cfg: VOConfig):

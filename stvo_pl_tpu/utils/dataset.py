@@ -24,16 +24,22 @@ from stvo_pl_tpu.ops import camera as cam_ops
 _NUM_RE = re.compile(r"^[^0-9]*([0-9]+\.?[0-9]*)[^0-9]*\.[a-zA-Z]{3,4}$")
 
 
-def sorted_images(directory: str) -> list[str]:
+def sorted_images_with_keys(directory: str) -> list[tuple[float, str]]:
     """Numeric filename sort (reference getSortedImages,
-    src/dataset.cpp:49-84)."""
+    src/dataset.cpp:49-84).  Returns (numeric_key, path) pairs — the key is
+    the frame index for KITTI-style names and the timestamp for TUM/EuRoC
+    style names."""
     entries = []
     for name in os.listdir(directory):
         m = _NUM_RE.match(name)
         if m:
             entries.append((float(m.group(1)), os.path.join(directory, name)))
     entries.sort()
-    return [p for _, p in entries]
+    return entries
+
+
+def sorted_images(directory: str) -> list[str]:
+    return [p for _, p in sorted_images_with_keys(directory)]
 
 
 def load_gray(path: str) -> np.ndarray:
@@ -105,6 +111,8 @@ class ImageSequence:
     calib: StereoCalib = field(default=None)
     paths_l: list[str] = field(default_factory=list)
     paths_r: list[str] = field(default_factory=list)
+    stamps: list[float] = field(default_factory=list)  # numeric filename key
+    #   per retained left frame: frame index (KITTI) or timestamp (TUM/EuRoC)
 
     def __post_init__(self):
         import yaml
@@ -118,16 +126,17 @@ class ImageSequence:
             self.calib = calib_from_yaml(params)
         dir_l = os.path.join(self.base_dir, params["images_subfolder_l"])
         dir_r = os.path.join(self.base_dir, params["images_subfolder_r"])
-        all_l = sorted_images(dir_l)
+        keyed_l = sorted_images_with_keys(dir_l)
         all_r = sorted_images(dir_r)
-        if len(all_l) != len(all_r):
+        if len(keyed_l) != len(all_r):
             raise RuntimeError("[Dataset] Left and right image counts differ")
         # decimation (src/dataset.cpp:133-140)
         offset = max(0, self.offset)
-        nmax = self.nmax if self.nmax > 0 else len(all_l)
+        nmax = self.nmax if self.nmax > 0 else len(keyed_l)
         step = max(1, self.step)
-        idx = range(offset, len(all_l), step)
-        self.paths_l = [all_l[i] for i in idx][:nmax]
+        idx = range(offset, len(keyed_l), step)
+        self.paths_l = [keyed_l[i][1] for i in idx][:nmax]
+        self.stamps = [keyed_l[i][0] for i in idx][:nmax]
         self.paths_r = [all_r[i] for i in idx][:nmax]
 
     def __len__(self):

@@ -96,24 +96,76 @@ def read_kitti(path: str) -> np.ndarray:
     return poses
 
 
-def read_tum(path: str) -> np.ndarray:
-    """TUM trajectory file (t x y z qx qy qz qw) -> [T, 4, 4]."""
+def read_tum(path: str, return_stamps: bool = False):
+    """TUM trajectory file (t x y z qx qy qz qw) -> [T, 4, 4].
+
+    Quaternions are normalized before conversion (real mocap GT files can
+    carry rounding drift).  With ``return_stamps=True`` also returns the
+    timestamp column [T] so callers can associate by time — real TUM
+    groundtruth.txt files are asynchronous ~100 Hz mocap, NOT one row per
+    camera frame.
+    """
     from scipy.spatial.transform import Rotation
-    rows = np.loadtxt(path).reshape(-1, 8)
+    rows = np.loadtxt(path, comments="#").reshape(-1, 8)
     poses = np.tile(np.eye(4), (len(rows), 1, 1))
     poses[:, :3, 3] = rows[:, 1:4]
-    poses[:, :3, :3] = Rotation.from_quat(rows[:, 4:8]).as_matrix()
+    q = rows[:, 4:8]
+    q = q / np.maximum(np.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
+    poses[:, :3, :3] = Rotation.from_quat(q).as_matrix()
+    if return_stamps:
+        return poses, rows[:, 0].copy()
     return poses
 
 
-def read_trajectory(path: str) -> np.ndarray:
+def read_trajectory(path: str, return_stamps: bool = False):
     """Load a trajectory file, auto-detecting KITTI (12 cols) vs TUM
-    (8 cols) layout."""
-    first = np.loadtxt(path, max_rows=1)
+    (8 cols) layout.
+
+    With ``return_stamps=True`` returns ``(poses, stamps_or_None)`` —
+    stamps are None for KITTI files (which are strictly one row per frame
+    and carry no time column).
+    """
+    first = np.loadtxt(path, comments="#", max_rows=1)
     n = first.size
     if n == 12:
-        return read_kitti(path)
+        poses = read_kitti(path)
+        return (poses, None) if return_stamps else poses
     if n == 8:
-        return read_tum(path)
+        return read_tum(path, return_stamps=return_stamps)
     raise ValueError(f"{path}: expected 12 (KITTI) or 8 (TUM) columns, "
                      f"got {n}")
+
+
+def associate_by_stamps(gt_stamps: np.ndarray, frame_stamps: np.ndarray,
+                        max_dt: float = 0.02) -> np.ndarray:
+    """Nearest-neighbor association of GT rows to frame timestamps.
+
+    Returns an index array [T] into gt_stamps, one GT row per frame.
+    Raises ValueError when the stamp ranges do not overlap (unit mismatch,
+    e.g. ns vs s) or when the median match distance exceeds ``max_dt`` —
+    silently wrong association is worse than refusing.
+    """
+    gt_stamps = np.asarray(gt_stamps, dtype=np.float64)
+    frame_stamps = np.asarray(frame_stamps, dtype=np.float64)
+    lo = max(gt_stamps.min(), frame_stamps.min())
+    hi = min(gt_stamps.max(), frame_stamps.max())
+    if hi < lo:
+        raise ValueError(
+            "GT and frame timestamp ranges do not overlap "
+            f"(gt [{gt_stamps.min():.3f}, {gt_stamps.max():.3f}] vs frames "
+            f"[{frame_stamps.min():.3f}, {frame_stamps.max():.3f}]) — "
+            "check units (ns vs s)")
+    order = np.argsort(gt_stamps)
+    pos = np.searchsorted(gt_stamps[order], frame_stamps)
+    pos = np.clip(pos, 1, len(gt_stamps) - 1)
+    left = order[pos - 1]
+    right = order[np.minimum(pos, len(gt_stamps) - 1)]
+    pick_right = (np.abs(gt_stamps[right] - frame_stamps)
+                  < np.abs(gt_stamps[left] - frame_stamps))
+    idx = np.where(pick_right, right, left)
+    dts = np.abs(gt_stamps[idx] - frame_stamps)
+    if np.median(dts) > max_dt:
+        raise ValueError(
+            f"timestamp association too loose (median |dt| "
+            f"{np.median(dts):.4f} s > {max_dt} s)")
+    return idx

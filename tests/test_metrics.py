@@ -129,3 +129,48 @@ def test_write_tum_roundtrip(tmp_path):
     for i in range(7):
         R = Rotation.from_quat(rows[i, 4:8]).as_matrix()
         np.testing.assert_allclose(R, poses[i, :3, :3], atol=1e-9)
+
+
+def test_associate_by_stamps_nearest_neighbor():
+    # 100 Hz GT vs 30 Hz frames (real TUM groundtruth.txt geometry)
+    gt_stamps = 1000.0 + np.arange(500) * 0.01
+    frame_stamps = 1000.05 + np.arange(60) / 30.0
+    idx = metrics.associate_by_stamps(gt_stamps, frame_stamps)
+    assert idx.shape == (60,)
+    assert np.all(np.abs(gt_stamps[idx] - frame_stamps) <= 0.005 + 1e-9)
+
+
+def test_associate_by_stamps_rejects_unit_mismatch():
+    gt_stamps = 1.4e9 + np.arange(100) * 1e7     # ns-style
+    frame_stamps = 1000.0 + np.arange(10) / 30.0  # seconds
+    with pytest.raises(ValueError, match="overlap"):
+        metrics.associate_by_stamps(gt_stamps, frame_stamps)
+
+
+def test_associate_by_stamps_rejects_loose_match():
+    gt_stamps = np.arange(10) * 10.0   # one row every 10 s
+    frame_stamps = 2.0 + np.arange(5)  # frames fall far from GT rows
+    with pytest.raises(ValueError, match="too loose"):
+        metrics.associate_by_stamps(gt_stamps, frame_stamps)
+
+
+def test_read_tum_stamps_and_quat_normalization(tmp_path):
+    pytest.importorskip("scipy")
+    poses = _traj(n=5)
+    p = tmp_path / "t.txt"
+    stamps = 1000.0 + np.arange(5) * 0.05
+    metrics.write_tum(str(p), poses, stamps=stamps)
+    # denormalize the quaternions in place to mimic mocap rounding drift
+    rows = np.loadtxt(p)
+    rows[:, 4:8] *= 1.02
+    np.savetxt(p, rows)
+    out, got = metrics.read_tum(str(p), return_stamps=True)
+    np.testing.assert_allclose(got, stamps, atol=1e-6)
+    np.testing.assert_allclose(out, poses, atol=1e-6)
+    # read_trajectory passes stamps through; KITTI has none
+    _, s2 = metrics.read_trajectory(str(p), return_stamps=True)
+    np.testing.assert_allclose(s2, stamps, atol=1e-6)
+    pk = tmp_path / "k.txt"
+    metrics.write_kitti(str(pk), poses)
+    _, s3 = metrics.read_trajectory(str(pk), return_stamps=True)
+    assert s3 is None
