@@ -156,7 +156,26 @@ def config_from_mapping(mapping: Mapping[str, Any],
             coerced[k] = bool(v)
         else:
             coerced[k] = v
-    return base.replace(**coerced)
+    cfg = base.replace(**coerced)
+    _warn_inert_keys(cfg)
+    return cfg
+
+
+def _warn_inert_keys(cfg: VOConfig) -> None:
+    """Warn when a reference knob is parsed but cannot take effect here
+    (documented in PARITY.md; silent acceptance would be dishonest)."""
+    import warnings
+    if cfg.orb_wta_k != 2:
+        warnings.warn(
+            f"orb_wta_k={cfg.orb_wta_k} is inert: descriptors here are "
+            "256 2-point binary tests (WTA_K=2 semantics); 3/4-way tests "
+            "with HAMMING2 distance are not implemented (see PARITY.md)",
+            stacklevel=3)
+    if cfg.orb_patch_size > 33:
+        warnings.warn(
+            f"orb_patch_size={cfg.orb_patch_size} exceeds the gathered "
+            "33x33 patch; test points are clipped to a 13 px radius "
+            "(see ops/orb.py:_make_pattern)", stacklevel=3)
 
 
 def load_config(path: str | None, base: VOConfig | None = None) -> VOConfig:

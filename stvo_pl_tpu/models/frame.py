@@ -74,9 +74,11 @@ def detect_points_multilevel(img: jnp.ndarray, fast_th: jnp.ndarray,
             nh, nw = max(16, int(round(H / s))), max(16, int(round(W / s)))
             cur = resize_bilinear(gaussian_blur(cur, 0.6), nh, nw)
         uv, sc, v = fast_ops.detect_keypoints(
-            cur, fast_th, budgets[lv], edge=cfg.orb_edge_th, cell=4)
+            cur, fast_th, budgets[lv], edge=cfg.orb_edge_th, cell=4,
+            score_type=cfg.orb_score)
         blur = gaussian_blur(cur, 2.0, radius=3)
-        desc, _, _ = orb.orient_and_describe(cur, blur, uv)
+        desc, _, _ = orb.orient_and_describe(cur, blur, uv,
+                                             patch_size=cfg.orb_patch_size)
         scale = cfg.orb_scale_factor ** lv
         uvs.append(uv * scale)
         descs.append(desc)

@@ -113,12 +113,25 @@ def match_f2f_points(prev: PointSet, curr: PointSet, cfg: VOConfig,
                         inlier=jnp.ones_like(valid))
 
 
-def match_f2f_lines(prev: LineSet, curr: LineSet,
-                    cfg: VOConfig) -> LineMatches:
+def match_f2f_lines(prev: LineSet, curr: LineSet, cfg: VOConfig,
+                    cam: cam_ops.StereoCamera | None = None) -> LineMatches:
     """matchF2FLines (:155-180): descriptor matching; observation is the
-    current frame's infinite-line coefficients."""
+    current frame's infinite-line coefficients.
+
+    The reference f2f path is always brute-force (match(), :164); like the
+    point side, matching_strategy == 1 here additionally windows candidates
+    to +/- matching_f2f_ws grid cells around the previous midpoint — the
+    f2f analogue of matchGrid's locality prior.
+    """
     dist = hamming.hamming_matrix(prev.desc, curr.desc, cfg.hamming_use_mxu)
     cand = prev.valid[:, None] & curr.valid[None, :]
+    if cfg.matching_strategy == 1 and cam is not None:
+        inv_w = cfg.grid_cols / float(cam.width)
+        inv_h = cfg.grid_rows / float(cam.height)
+        mid_p = 0.5 * (prev.spl + prev.epl)
+        mid_c = 0.5 * (curr.spl + curr.epl)
+        cand = cand & matching.f2f_point_window_mask(
+            mid_p, mid_c, inv_w, inv_h, cfg.matching_f2f_ws)
     res = matching.nnr_mutual_match(dist, cand, cfg.min_ratio_12_l,
                                     mutual=cfg.best_lr_matches)
     j = jnp.maximum(res.idx, 0)
@@ -222,7 +235,7 @@ def vo_step(state: VOState, img_l: jnp.ndarray, img_r: jnp.ndarray,
 def _track_and_update(state: VOState, feats, cam, cfg: VOConfig):
     dtype = state.Tfw.dtype
     pm = match_f2f_points(state.prev_points, feats.points, cfg, cam)
-    lm = match_f2f_lines(state.prev_lines, feats.lines, cfg)
+    lm = match_f2f_lines(state.prev_lines, feats.lines, cfg, cam)
 
     est, pm, lm = optimizer.optimize_pose(
         pm, lm, cam, cfg, state.DT, state.DT_cov, state.err_norm)

@@ -78,6 +78,31 @@ def fast_score(img: jnp.ndarray, threshold: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(resp > threshold, resp, 0.0)
 
 
+def harris_score(img: jnp.ndarray, block: int = 7,
+                 k: float = 0.04) -> jnp.ndarray:
+    """Harris corner response map (cv::ORB's HARRIS_SCORE ranking,
+    HarrisResponses in OpenCV orb.cpp; selected by orb_score=0,
+    reference src/stereoFrame.cpp:112-115 / src/config.cpp:100).
+
+    det(M) - k tr(M)^2 over a block x block window of Sobel-gradient
+    products.  Only used to RANK corners that already pass the FAST
+    segment test, exactly like cv::ORB: detection stays FAST, the score
+    map swaps.
+    """
+    from stvo_pl_tpu.ops.image import box_filter, sobel
+    gx, gy = sobel(img)
+    r = block // 2
+    sxx = box_filter(gx * gx, r)
+    syy = box_filter(gy * gy, r)
+    sxy = box_filter(gx * gy, r)
+    det = sxx * syy - sxy * sxy
+    tr = sxx + syy
+    # OpenCV scales by (1/(4*blockSize*255))^4; ranking is scale-invariant,
+    # but normalizing keeps the response in a float32-friendly range
+    scale = (1.0 / (4 * block * 255.0)) ** 4
+    return (det - k * tr * tr) * scale
+
+
 def _border_mask(shape, edge: int, dtype) -> jnp.ndarray:
     H, W = shape
     y = jnp.arange(H)[:, None]
@@ -87,18 +112,31 @@ def _border_mask(shape, edge: int, dtype) -> jnp.ndarray:
 
 
 def detect_keypoints(img: jnp.ndarray, threshold: jnp.ndarray, capacity: int,
-                     edge: int = 16, cell: int = 4):
+                     edge: int = 16, cell: int = 4, score_type: int = 1):
     """FAST score + NMS + spatially-uniform top-K in one step.
 
-    On TPU the score map, NMS, and cell packing run in one fused Pallas
-    kernel (ops/fast_kernel.py) and only a 4x4 pooling + top-k remain in
-    XLA; elsewhere this is fast_score + select_keypoints.
+    score_type follows cv::ORB (src/config.cpp:100): 1 ranks by the FAST
+    corner response; 0 detects with FAST but ranks by the Harris response
+    at the surviving pixels (HARRIS_SCORE semantics).
+
+    On TPU the FAST-ranked path runs the score map, NMS, and cell packing
+    in one fused Pallas kernel (ops/fast_kernel.py) and only a 4x4 pooling
+    + top-k remain in XLA; the Harris-ranked path and CPU use
+    fast_score/harris_score + select_keypoints.
     """
-    if jax.default_backend() == "tpu" and cell == 4 and min(img.shape) >= 64:
+    if (score_type == 1 and jax.default_backend() == "tpu"
+            and cell == 4 and min(img.shape) >= 64):
         from stvo_pl_tpu.ops.fast_kernel import fast_pack, select_from_packed
         packed = fast_pack(img, edge)
         return select_from_packed(packed, capacity, threshold, cell)
     score = fast_score(img, threshold)
+    if score_type == 0:
+        # rank FAST survivors by Harris, rescaled into a FAST-like range
+        # (select_keypoints' tie-break epsilon assumes scores >> 1e-7*H*W);
+        # a tiny positive floor retains weak-but-valid corners
+        h = jnp.where(score > 0, harris_score(img), 0.0)
+        h = h / jnp.maximum(jnp.max(h), 1e-30) * 1e3
+        score = jnp.where(score > 0, jnp.maximum(h, 1e-3), 0.0)
     return select_keypoints(score, capacity, edge=edge, cell=cell)
 
 

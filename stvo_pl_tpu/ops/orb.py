@@ -34,13 +34,21 @@ PATTERN_R = 13.0      # max test-point radius (rotation-safe inside PATCH_R-2)
 N_BITS = 256
 
 
-def _make_pattern(seed: int = 8861) -> np.ndarray:
-    """[256, 2, 2] float32 (pair, point, (dx, dy)) Gaussian BRIEF pattern."""
+@functools.lru_cache(maxsize=8)
+def _make_pattern(patch_size: int = 31, seed: int = 8861) -> np.ndarray:
+    """[256, 2, 2] float32 (pair, point, (dx, dy)) Gaussian BRIEF pattern.
+
+    orb_patch_size (src/config.cpp:101) sets the test-point spread exactly
+    as in cv::ORB (pattern sigma = patch/5); points are clipped to the
+    rotation-safe radius of the gathered 33x33 patch, which caps the
+    effective patch at 2*PATTERN_R_MAX+1 = 27 px of reach per test point.
+    """
     rng = np.random.default_rng(seed)
-    sigma = 31.0 / 5.0
+    sigma = patch_size / 5.0
+    pattern_r = min(PATTERN_R, patch_size / 2.0 - 2.0)
     pts = rng.normal(0.0, sigma, size=(N_BITS, 2, 2))
     r = np.linalg.norm(pts, axis=-1, keepdims=True)
-    scale = np.minimum(1.0, PATTERN_R / np.maximum(r, 1e-9))
+    scale = np.minimum(1.0, pattern_r / np.maximum(r, 1e-9))
     return (pts * scale).astype(np.float32)
 
 
@@ -96,15 +104,17 @@ def orientation(patches: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
 N_ORI_BINS = 30  # OpenCV ORB also quantizes orientation (2*pi/30 steps)
 
 
-def _binned_test_matrix() -> np.ndarray:
+@functools.lru_cache(maxsize=8)
+def _binned_test_matrix(patch_size: int = 31) -> np.ndarray:
     """[P*P, N_ORI_BINS * 256] +/-1 difference matrix: column (b, c) has +1
     at the rotated position of test point 1 and -1 at test point 0 of bit c
     under orientation bin b.  A binary test s0 < s1 then becomes the sign of
     one matmul output — the whole rBRIEF sampling rides the MXU instead of
     ~K*512 scalar gathers."""
     D = np.zeros((PATCH * PATCH, N_ORI_BINS * N_BITS), np.float32)
-    px = PATTERN[..., 0]   # [256, 2]
-    py = PATTERN[..., 1]
+    pattern = _make_pattern(patch_size)
+    px = pattern[..., 0]   # [256, 2]
+    py = pattern[..., 1]
     for b in range(N_ORI_BINS):
         th = 2.0 * np.pi * b / N_ORI_BINS
         c, s = np.cos(th), np.sin(th)
@@ -122,7 +132,7 @@ _TEST_MAT = _binned_test_matrix()
 
 
 def describe(patches: jnp.ndarray, cos_t: jnp.ndarray,
-             sin_t: jnp.ndarray) -> jnp.ndarray:
+             sin_t: jnp.ndarray, patch_size: int = 31) -> jnp.ndarray:
     """Rotated-BRIEF descriptors: [K, P, P] patches -> [K, 8] uint32.
 
     Orientation is quantized to N_ORI_BINS (OpenCV ORB does the same,
@@ -135,7 +145,7 @@ def describe(patches: jnp.ndarray, cos_t: jnp.ndarray,
     bin_idx = jnp.mod(jnp.round(angle * (N_ORI_BINS / (2.0 * jnp.pi))),
                       N_ORI_BINS).astype(jnp.int32)
     flat = patches.reshape(patches.shape[0], -1)      # [K, P*P]
-    D = jnp.asarray(_TEST_MAT, jnp.bfloat16)
+    D = jnp.asarray(_binned_test_matrix(patch_size), jnp.bfloat16)
     diffs = jax.lax.dot_general(
         flat.astype(jnp.bfloat16), D, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)           # [K, 30*256]
@@ -151,9 +161,9 @@ def describe(patches: jnp.ndarray, cos_t: jnp.ndarray,
     return jnp.sum(words << shifts[None, None, :], axis=-1, dtype=jnp.uint32)
 
 
-@functools.partial(jax.jit, static_argnames=())
+@functools.partial(jax.jit, static_argnames=("patch_size",))
 def orient_and_describe(img: jnp.ndarray, img_blur: jnp.ndarray,
-                        uv: jnp.ndarray):
+                        uv: jnp.ndarray, patch_size: int = 31):
     """Full per-level descriptor pass.
 
     uv: [K, 2] level coords.  Returns (desc [K, 8] uint32, cos, sin).
@@ -167,5 +177,5 @@ def orient_and_describe(img: jnp.ndarray, img_blur: jnp.ndarray,
     del img  # orientation shares the blurred patch
     p = gather_patches(img_blur, uv)
     c, s = orientation(p)
-    desc = describe(p, c, s)
+    desc = describe(p, c, s, patch_size=patch_size)
     return desc, c, s

@@ -176,3 +176,67 @@ def test_lsd_nfa_validation():
     n_gated = int(np.asarray(gated.valid).sum())
     assert n_gated <= n_base
     assert n_gated <= 2, f"NFA gate kept {n_gated} noise detections"
+
+
+def test_harris_scoring_path(rng):
+    """orb_score=0 (HARRIS_SCORE, src/config.cpp:100): detection stays
+    FAST, ranking swaps to the Harris response."""
+    img, pts = corner_image(rng, n=30)
+    uv, sc, valid = fast_ops.detect_keypoints(
+        jnp.asarray(img), jnp.float32(20.0), capacity=100, edge=8,
+        score_type=0)
+    uv = np.asarray(uv)[np.asarray(valid)]
+    assert len(uv) >= len(pts) * 0.8
+    d = np.linalg.norm(uv[:, None] - pts[None, :, :], axis=-1).min(1)
+    assert (d < 5.0).mean() > 0.9
+    # Harris ranking must actually differ from FAST ranking on real texture
+    uvf, scf, vf = fast_ops.detect_keypoints(
+        jnp.asarray(img), jnp.float32(20.0), capacity=100, edge=8,
+        score_type=1)
+    assert not np.allclose(np.asarray(sc)[np.asarray(valid)],
+                           np.asarray(scf)[np.asarray(vf)][:valid.sum()])
+
+
+def test_harris_score_vs_cv2_oracle(rng):
+    """Harris response map ranks corners consistently with cv2."""
+    cv2 = pytest.importorskip("cv2")
+    img, _ = corner_image(rng, n=40)
+    ours = np.asarray(fast_ops.harris_score(jnp.asarray(img)))
+    ref = cv2.cornerHarris(img.astype(np.float32), blockSize=7, ksize=3,
+                           k=0.04)
+    # compare rankings at strong-corner pixels (different Sobel/window
+    # normalizations -> compare order, not magnitude)
+    mask = ref > 0.01 * ref.max()
+    a = ours[mask]
+    b = ref[mask]
+    rank_a = np.argsort(np.argsort(a))
+    rank_b = np.argsort(np.argsort(b))
+    n = len(a)
+    corr = np.corrcoef(rank_a, rank_b)[0, 1]
+    assert n > 50 and corr > 0.8
+
+
+def test_patch_size_changes_descriptor(rng):
+    img, _ = corner_image(rng, n=30)
+    from stvo_pl_tpu.ops.image import gaussian_blur
+    im = jnp.asarray(img)
+    blur = gaussian_blur(im, 2.0, radius=3)
+    score = fast_ops.fast_score(im, jnp.float32(20.0))
+    uv, _, valid = fast_ops.select_keypoints(score, capacity=60, edge=18)
+    d31, _, _ = orb_ops.orient_and_describe(im, blur, uv, patch_size=31)
+    d15, _, _ = orb_ops.orient_and_describe(im, blur, uv, patch_size=15)
+    v = np.asarray(valid)
+    assert not np.array_equal(np.asarray(d31)[v], np.asarray(d15)[v])
+
+
+def test_inert_key_warnings():
+    import warnings
+    from stvo_pl_tpu.config import config_from_mapping
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        config_from_mapping({"orb_wta_k": 4})
+        assert any("orb_wta_k" in str(x.message) for x in w)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        config_from_mapping({"orb_patch_size": 63})
+        assert any("orb_patch_size" in str(x.message) for x in w)
