@@ -42,6 +42,12 @@ def build_argparser() -> argparse.ArgumentParser:
                     help="ground-truth trajectory file (KITTI 12-col or "
                          "TUM 8-col, auto-detected); prints ATE/RPE and "
                          "overlays the plot")
+    ap.add_argument("--ba-window", type=int, default=0, metavar="K",
+                    help="refine the trajectory with windowed bundle "
+                         "adjustment over K-keyframe windows (0 = off)")
+    ap.add_argument("--ba-kf-every", type=int, default=0, metavar="N",
+                    help="additionally promote every Nth frame to a "
+                         "keyframe for the BA back end")
     ap.add_argument("--quiet", action="store_true")
     return ap
 
@@ -97,6 +103,11 @@ def main(argv=None):
           f"fx={cam.fx:.1f} b={cam.b:.4f}")
 
     state = frontend.init_state(cfg)
+    backend = None
+    if args.ba_window > 0:
+        from stvo_pl_tpu.models.backend import WindowedBA
+        backend = WindowedBA(cam, cfg, window=args.ba_window,
+                             force_kf_every=args.ba_kf_every)
     poses = []
     stats = []
     for i, (img_l, img_r) in enumerate(seq.prefetch()):
@@ -106,6 +117,11 @@ def main(argv=None):
         Tfw = np.asarray(telem.Tfw)  # sync point
         dt_ms = (time.perf_counter() - t0) * 1e3
         poses.append(Tfw)
+        if backend is not None:
+            done = backend.observe(i, Tfw, i > 0 and bool(telem.is_kf),
+                                   state.prev_points)
+            if done is not None and not args.quiet:
+                print(f"[stvo] BA refined keyframes {done[0]}")
         stats.append(dict(err=float(telem.err_norm), ms=dt_ms,
                           npt=int(telem.n_inliers_pt),
                           nls=int(telem.n_inliers_ls),
@@ -118,10 +134,18 @@ def main(argv=None):
                   + ("  [KF]" if i and bool(telem.is_kf) else ""))
 
     poses = np.stack(poses)
+    poses_refined = None
+    if backend is not None and backend.events:
+        poses_refined = backend.apply(poses)
+        print(f"[stvo] BA: {len(backend.events)} window(s) refined")
     if args.traj_out:
         from stvo_pl_tpu.utils.metrics import write_tum
         write_tum(args.traj_out, poses)
         print(f"[stvo] trajectory -> {args.traj_out}")
+        if poses_refined is not None:
+            write_tum(args.traj_out + ".refined", poses_refined)
+            print(f"[stvo] BA-refined trajectory -> "
+                  f"{args.traj_out}.refined")
     if args.kitti_out:
         from stvo_pl_tpu.utils.metrics import write_kitti
         write_kitti(args.kitti_out, poses)
@@ -139,6 +163,9 @@ def main(argv=None):
             print(f"[stvo] ATE {ate:.4f} m   RPE {t_rmse * 1e3:.1f} mm / "
                   f"{r_rmse:.4f} deg per {unit} "
                   f"(path {metrics.trajectory_length(gt):.1f} m)")
+            if poses_refined is not None:
+                ate_r = metrics.ate_rmse(poses_refined, gt)
+                print(f"[stvo] ATE (BA-refined) {ate_r:.4f} m")
     if args.plot:
         from stvo_pl_tpu.utils.visualization import plot_run
         plot_run(args.plot, poses, stats, gt_poses=gt)

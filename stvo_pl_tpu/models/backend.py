@@ -1,0 +1,119 @@
+"""Windowed-BA back end driven by the live VO loop.
+
+The reference exposes keyframe hooks (needNewKF/currFrameIsKF,
+src/stereoFrameHandler.cpp:1136-1218) so an external SLAM layer can refine
+the trajectory; here the back end is in-process: a keyframe ring collects
+(pose, stereo-point snapshot) pairs whenever the front end flags a KF, and
+every full window is jointly refined with the Schur-complement BA
+(parallel/window.py + parallel/ba.py).  Windows are CHAINED — the last
+(refined) keyframe of one window anchors the next (gauge holds pose 0
+fixed) — so drift corrections compose along the trajectory.
+
+Use from the CLI via --ba-window K, or directly:
+
+    backend = WindowedBA(cam, cfg, window=4)
+    for each frame: backend.observe(i, telem.Tfw, telem.is_kf, state.prev_points)
+    refined = backend.apply(np.stack(raw_poses))
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from stvo_pl_tpu.config import VOConfig
+from stvo_pl_tpu.models.features import PointSet
+from stvo_pl_tpu.ops import camera as cam_ops
+from stvo_pl_tpu.parallel import window as window_mod
+
+
+class WindowedBA:
+    """Keyframe ring + chained window refinement.
+
+    force_kf_every > 0 additionally promotes every Nth frame to a keyframe
+    (useful when the entropy-ratio policy fires rarely on short runs).
+    """
+
+    def __init__(self, cam: cam_ops.StereoCamera, cfg: VOConfig,
+                 window: int = 4, n_iters: int = 8,
+                 force_kf_every: int = 0):
+        self.cam = cam
+        self.cfg = cfg
+        self.window = window
+        self.n_iters = n_iters
+        self.force_kf_every = force_kf_every
+        # ring entries: (frame_idx, T_corrected [4,4] np, T_raw, PointSet)
+        self._ring: list[tuple[int, np.ndarray, np.ndarray, PointSet]] = []
+        # refinement events: (kf_indices, corrections C_k [K,4,4])
+        self.events: list[tuple[list[int], np.ndarray]] = []
+        self._frames_since_kf = 0
+        self._n_frames = 0
+        self._C = np.eye(4)     # cumulative correction for incoming poses
+
+    def observe(self, frame_idx: int, Tfw, is_kf, points: PointSet):
+        """Feed one frame's outcome; returns (kf_indices, refined_poses)
+        when a window was just refined, else None."""
+        self._n_frames = max(self._n_frames, frame_idx + 1)
+        take = frame_idx == 0 or bool(is_kf)
+        if self.force_kf_every > 0:
+            take = take or self._frames_since_kf + 1 >= self.force_kf_every
+        self._frames_since_kf = 0 if take else self._frames_since_kf + 1
+        if not take:
+            return None
+        T_raw = np.asarray(Tfw, dtype=np.float64)
+        T_in = self._C @ T_raw
+        snap = jax.tree_util.tree_map(jnp.asarray, points)
+        self._ring.append((frame_idx, T_in, T_raw, snap))
+        if len(self._ring) == self.window:
+            return self._refine()
+        return None
+
+    def _refine(self):
+        kfs = [(jnp.asarray(T_in), pts) for _, T_in, _, pts in self._ring]
+        win = window_mod.stack_keyframes(kfs)
+        Tfw_new, _, costs = window_mod.refine_window(
+            win, self.cam, self.cfg, n_iters=self.n_iters)
+        Tfw_new = np.asarray(Tfw_new, dtype=np.float64)
+        idxs = [i for i, _, _, _ in self._ring]
+        # per-KF output correction vs the RAW trajectory
+        C = np.stack([Tfw_new[k] @ np.linalg.inv(self._ring[k][2])
+                      for k in range(len(idxs))])
+        self.events.append((idxs, C))
+        # chain: refined last KF anchors the next window
+        last_idx, _, last_raw, last_pts = self._ring[-1]
+        self._C = Tfw_new[-1] @ np.linalg.inv(last_raw)
+        self._ring = [(last_idx, Tfw_new[-1], last_raw, last_pts)]
+        return idxs, Tfw_new
+
+    def apply(self, poses: np.ndarray) -> np.ndarray:
+        """Correct a raw trajectory [T, 4, 4].  Keyframe corrections are
+        interpolated along se(3) between consecutive KFs (piecewise-constant
+        corrections would kink the trajectory at every KF); the last
+        correction extends unchanged to the end of the run."""
+        from stvo_pl_tpu.ops import se3 as se3_ops
+        import jax.numpy as jnp
+
+        out = np.array(poses, dtype=np.float64, copy=True)
+        # flatten events into ordered (kf_frame, C) knots
+        segs: list[tuple[int, np.ndarray]] = []
+        for idxs, C in self.events:
+            for k, i0 in enumerate(idxs):
+                if segs and segs[-1][0] == i0:
+                    segs[-1] = (i0, C[k])   # shared anchor: same correction
+                else:
+                    segs.append((i0, C[k]))
+        for s, (i0, C0) in enumerate(segs):
+            if s + 1 < len(segs):
+                i1, C1 = segs[s + 1]
+                d = np.asarray(se3_ops.logmap_se3(jnp.asarray(
+                    (C1 @ np.linalg.inv(C0)).astype(np.float32))))
+                for i in range(i0, i1):
+                    a = (i - i0) / float(i1 - i0)
+                    Ci = np.asarray(se3_ops.expmap_se3(
+                        jnp.asarray(a * d, jnp.float32)),
+                        dtype=np.float64) @ C0
+                    out[i] = Ci @ out[i]
+            else:
+                out[i0:] = C0[None] @ out[i0:]
+        return out

@@ -102,3 +102,22 @@ def test_cli_decimation(dataset_dir):
                       "-o", "1", "-s", "2", "--quiet"])
     # frames 1, 3 of 5
     assert poses.shape[0] == 2
+
+
+def test_cli_ba_window(dataset_dir, tmp_path, capsys):
+    """--ba-window drives the windowed-BA back end from the CLI and emits
+    a refined trajectory + second ATE line."""
+    from stvo_pl_tpu import cli
+    traj = tmp_path / "traj_ba.txt"
+    cli.main([str(dataset_dir), "-c", str(dataset_dir / "cfg.yaml"),
+              "-t", str(traj), "--quiet", "--gt", str(dataset_dir / "gt.txt"),
+              "--ba-window", "4", "--ba-kf-every", "1"])
+    out = capsys.readouterr().out
+    assert "BA:" in out and "window(s) refined" in out
+    ate_lines = [l for l in out.splitlines() if "ATE" in l]
+    assert len(ate_lines) == 2, out
+    ate_ref = float(ate_lines[1].split()[-2])
+    assert np.isfinite(ate_ref) and ate_ref < 0.5
+    refined = (tmp_path / "traj_ba.txt.refined")
+    assert refined.exists()
+    assert len(refined.read_text().strip().splitlines()) == N_FRAMES
