@@ -48,6 +48,10 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--ba-kf-every", type=int, default=0, metavar="N",
                     help="additionally promote every Nth frame to a "
                          "keyframe for the BA back end")
+    ap.add_argument("--scene", default=None, metavar="OUT.html",
+                    help="write an interactive 3-D scene (trajectory, "
+                         "frustums, KF markers, covariance ellipsoid, "
+                         "image viewport) as a self-contained HTML file")
     ap.add_argument("--quiet", action="store_true")
     return ap
 
@@ -110,6 +114,7 @@ def main(argv=None):
                              force_kf_every=args.ba_kf_every)
     poses = []
     stats = []
+    scene_imgs = {}
     for i, (img_l, img_r) in enumerate(seq.prefetch()):
         t0 = time.perf_counter()
         state, telem = frontend.vo_step(
@@ -126,6 +131,9 @@ def main(argv=None):
                           npt=int(telem.n_inliers_pt),
                           nls=int(telem.n_inliers_ls),
                           kf=bool(telem.is_kf)))
+        if args.scene and (i == 0 or (bool(telem.is_kf) and
+                                      len(scene_imgs) < 12)):
+            scene_imgs[i] = np.asarray(img_l)
         if not args.quiet:
             print(f"Frame #{i:5d}  err {float(telem.err_norm):8.5f}  "
                   f"{dt_ms:7.2f} ms  fast_th {float(telem.fast_th):4.0f}  "
@@ -170,6 +178,16 @@ def main(argv=None):
         from stvo_pl_tpu.utils.visualization import plot_run
         plot_run(args.plot, poses, stats, gt_poses=gt)
         print(f"[stvo] plot -> {args.plot}")
+    if args.scene:
+        from stvo_pl_tpu.utils.scene_html import write_scene_html
+        scene_imgs[len(poses) - 1] = np.asarray(img_l)
+        write_scene_html(args.scene,
+                         poses_refined if poses_refined is not None
+                         else poses,
+                         stats, gt_poses=gt, images=scene_imgs,
+                         cov=np.asarray(state.Tfw_cov),
+                         title=f"stvo_pl_tpu {args.dataset}")
+        print(f"[stvo] scene -> {args.scene}")
 
     ms = np.array([s["ms"] for s in stats][2:])
     if len(ms):

@@ -121,3 +121,25 @@ def test_cli_ba_window(dataset_dir, tmp_path, capsys):
     refined = (tmp_path / "traj_ba.txt.refined")
     assert refined.exists()
     assert len(refined.read_text().strip().splitlines()) == N_FRAMES
+
+
+def test_cli_scene_html(dataset_dir, tmp_path):
+    """--scene writes a self-contained interactive HTML (MRPT scene
+    parity: trajectory + frustums + KF markers + cov ellipsoid + image
+    viewport, sceneRepresentation.cpp:263-504)."""
+    from stvo_pl_tpu import cli
+    out = tmp_path / "scene.html"
+    cli.main([str(dataset_dir), "-c", str(dataset_dir / "cfg.yaml"),
+              "--quiet", "--gt", str(dataset_dir / "gt.txt"),
+              "--scene", str(out)])
+    html = out.read_text()
+    assert html.startswith("<!DOCTYPE html>")
+    for token in ["frustum", "ellipsoid", "data:image/png;base64,",
+                  '"kf"', '"gt"', "orbit"]:
+        assert token in html, token
+    # embedded data parses back as JSON
+    import json, re
+    m = re.search(r"const D = (\{.*?\});\n", html, re.S)
+    data = json.loads(m.group(1))
+    assert len(data["pos"]) == N_FRAMES
+    assert data["gt"] is not None and len(data["imgs"]) >= 1
