@@ -107,6 +107,11 @@ class VOConfig:
     lsd_density_th: float = 0.6
     lsd_n_bins: int = 1024
 
+    # EDLine-style alternative line detector (ops/edline.py) — the
+    # reference vendors EDLineDetector but never reaches it from StVO;
+    # here it is selectable (TPU-native addition, quality A/B in EVAL.md)
+    use_edlines: bool = False
+
     # ---- TPU-native additions -----------------------------------------
     # spatial grid (reference GRID_ROWS/GRID_COLS, include/stereoFrame.h:51-52)
     grid_rows: int = 48

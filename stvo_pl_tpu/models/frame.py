@@ -239,14 +239,20 @@ def extract_stereo_features(img_l: jnp.ndarray, img_r: jnp.ndarray,
 
     if cfg.has_lines:
         def detect_one(im):
-            segs = lsd.detect_line_segments(
-                im, min_line_length, capacity=cfg.line_capacity,
-                n_dirs=cfg.lsd_n_dirs, ang_th_deg=cfg.lsd_ang_th,
-                quant=cfg.lsd_quant, density_th=cfg.lsd_density_th,
-                refine=not cfg.use_fld_lines,
-                # NFA validation only in advanced-refinement mode, like
-                # cv::LSD (log_eps ignored otherwise — src/config.cpp:105)
-                log_eps=(cfg.lsd_log_eps if cfg.lsd_refine >= 2 else -1.0))
+            if cfg.use_edlines:
+                from stvo_pl_tpu.ops.edline import detect_edlines
+                segs = detect_edlines(im, min_line_length,
+                                      capacity=cfg.line_capacity)
+            else:
+                segs = lsd.detect_line_segments(
+                    im, min_line_length, capacity=cfg.line_capacity,
+                    n_dirs=cfg.lsd_n_dirs, ang_th_deg=cfg.lsd_ang_th,
+                    quant=cfg.lsd_quant, density_th=cfg.lsd_density_th,
+                    refine=not cfg.use_fld_lines,
+                    # NFA validation only in advanced-refinement mode, like
+                    # cv::LSD (log_eps ignored otherwise — src/config.cpp:105)
+                    log_eps=(cfg.lsd_log_eps if cfg.lsd_refine >= 2
+                             else -1.0))
             gx, gy = sobel(im)
             _, desc_b = lbd.compute_lbd(gx, gy, segs.sp, segs.ep)
             return segs, desc_b
