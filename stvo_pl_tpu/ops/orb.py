@@ -27,10 +27,17 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-PATCH_R = 16          # gathered patch radius -> 33x33 patches
+PATCH_R = 15          # gathered patch radius -> 31x31 patches (exactly the
+                      # ORI_R=15 centroid support; a wider gather only adds
+                      # dead rows to the patch kernel's per-site write)
 PATCH = 2 * PATCH_R + 1
 ORI_R = 15            # intensity-centroid radius (OpenCV HARRIS_BLOCK-ish)
 PATTERN_R = 13.0      # max test-point radius (rotation-safe inside PATCH_R-2)
+# NOTE: contracting only the center 27x27 slice (pattern reach is 13 px)
+# would cut the describe matmul a further 25%, but slicing the gathered
+# patches breaks the contiguous [K, P, P] -> [K, P*P] reshape and XLA's
+# relayout copy costs far more than the saved FLOPs (measured 311 -> 262
+# fps/chip).  The full PATCH grid keeps the reshape free.
 N_BITS = 256
 
 
@@ -90,10 +97,11 @@ def gather_patches(img: jnp.ndarray, uv: jnp.ndarray,
 
 def orientation(patches: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Intensity-centroid orientation per patch -> (cos, sin) [K]."""
-    mx = jnp.asarray(_ORI_X, patches.dtype)
-    my = jnp.asarray(_ORI_Y, patches.dtype)
-    m10 = jnp.sum(patches * mx, axis=(-2, -1))
-    m01 = jnp.sum(patches * my, axis=(-2, -1))
+    p = patches.astype(jnp.float32)  # f32 accumulation (patches may be bf16;
+    mx = jnp.asarray(_ORI_X, p.dtype)  # the convert fuses into the reduce)
+    my = jnp.asarray(_ORI_Y, p.dtype)
+    m10 = jnp.sum(p * mx, axis=(-2, -1))
+    m01 = jnp.sum(p * my, axis=(-2, -1))
     norm = jnp.sqrt(m10 * m10 + m01 * m01)
     safe = norm > 1e-6
     c = jnp.where(safe, m10 / jnp.maximum(norm, 1e-6), 1.0)
@@ -175,6 +183,9 @@ def orient_and_describe(img: jnp.ndarray, img_blur: jnp.ndarray,
     second gather halves the dominant memory cost).
     """
     del img  # orientation shares the blurred patch
+    # NOTE: gathering bf16 patches (to halve the kernel's per-site VMEM
+    # block reads) is blocked by the toolchain: Mosaic's lane roll only
+    # supports 32-bit data ("Rotate with non-32-bit data").
     p = gather_patches(img_blur, uv)
     c, s = orientation(p)
     desc = describe(p, c, s, patch_size=patch_size)
