@@ -29,7 +29,7 @@ from stvo_pl_tpu.config import VOConfig
 from stvo_pl_tpu.ops import camera as cam_ops
 from stvo_pl_tpu.ops import fast as fast_ops
 from stvo_pl_tpu.ops import hamming, lbd, lsd, matching, orb
-from stvo_pl_tpu.ops.image import gaussian_blur, resize_bilinear, sobel
+from stvo_pl_tpu.ops.image import gaussian_blur, pyramid_levels, sobel
 from stvo_pl_tpu.models.features import (LineSet, PointSet, empty_lines,
                                          empty_points)
 
@@ -66,13 +66,10 @@ def detect_points_multilevel(img: jnp.ndarray, fast_th: jnp.ndarray,
     """
     budgets = _per_level_budgets(cfg)
     uvs, descs, levels, scores, valids = [], [], [], [], []
-    cur = img
-    H, W = img.shape
+    pyr = pyramid_levels(img, cfg.orb_nlevels, cfg.orb_scale_factor,
+                         blur_sigma=0.6)
     for lv in range(cfg.orb_nlevels):
-        if lv > 0:
-            s = cfg.orb_scale_factor ** lv
-            nh, nw = max(16, int(round(H / s))), max(16, int(round(W / s)))
-            cur = resize_bilinear(gaussian_blur(cur, 0.6), nh, nw)
+        cur = pyr[lv]
         uv, sc, v = fast_ops.detect_keypoints(
             cur, fast_th, budgets[lv], edge=cfg.orb_edge_th, cell=4,
             score_type=cfg.orb_score)

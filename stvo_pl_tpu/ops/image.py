@@ -87,10 +87,115 @@ def sobel(img: jnp.ndarray):
     return gx, gy
 
 
-def resize_bilinear(img: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
-    """Bilinear resize, batched [..., H, W] (cv::resize equivalent)."""
-    return jax.image.resize(img, img.shape[:-2] + (out_h, out_w),
-                            method="bilinear")
+@functools.lru_cache(maxsize=64)
+def _resample_matrix(n_in: int, n_out: int, blur_sigma: float) -> np.ndarray:
+    """[n_in, n_out] 1-D resampling operator: optional edge-replicated
+    Gaussian blur composed with ANTIALIASED bilinear interpolation
+    (half-pixel centers, triangle kernel scaled by the downsample ratio —
+    jax.image.resize semantics).  All steps are linear, so composing them
+    into one matrix is exact and the separate blur pass disappears.
+
+    Antialiasing is LOAD-BEARING for robustness, not a nicety: a plain
+    2-tap downsample of noise-like texture keeps aliased high-frequency
+    energy that spawns spurious pyramid-level FAST corners — measured to
+    flip the stuck-overlay adversarial e2e (tests/test_adversarial.py)
+    from tracking to lost.  As a dense matmul the wider kernel costs
+    nothing extra."""
+    scale = n_in / n_out
+    M = np.zeros((n_in, n_out), np.float64)
+    if scale <= 1.0:
+        # upsample: plain 2-tap bilinear (no AA needed)
+        pos = (np.arange(n_out) + 0.5) * scale - 0.5
+        i0 = np.floor(pos)
+        f = (pos - i0).astype(np.float64)
+        a = np.clip(i0, 0, n_in - 1).astype(int)
+        b = np.clip(i0 + 1, 0, n_in - 1).astype(int)
+        M[a, np.arange(n_out)] += 1.0 - f
+        M[b, np.arange(n_out)] += f
+    else:
+        for j in range(n_out):
+            c = (j + 0.5) * scale - 0.5
+            idx = np.arange(int(np.floor(c - scale)),
+                            int(np.ceil(c + scale)) + 1)
+            w = np.maximum(0.0, 1.0 - np.abs(idx - c) / scale)
+            keep = (idx >= 0) & (idx < n_in) & (w > 0)
+            idx, w = idx[keep], w[keep]
+            M[idx, j] = w / w.sum()      # edge renormalization, like jax
+    if blur_sigma > 0:
+        k = gaussian_kernel1d(blur_sigma).astype(np.float64)
+        r = (len(k) - 1) // 2
+        B = np.zeros((n_in, n_in), np.float64)
+        for i, kv in enumerate(k):
+            src = np.clip(np.arange(n_in) + (i - r), 0, n_in - 1)
+            B[src, np.arange(n_in)] += kv    # edge replication (_axis_shift)
+        M = B @ M
+    return M.astype(np.float32)
+
+
+def resize_bilinear(img: jnp.ndarray, out_h: int, out_w: int,
+                    blur_sigma: float = 0.0) -> jnp.ndarray:
+    """Bilinear resize, batched [..., H, W] (cv::resize INTER_LINEAR
+    equivalent — NO antialiasing, like the cv::ORB pyramid the reference
+    consumes).  Runs as two dense matmuls against 2-tap interpolation
+    matrices: jax.image.resize lowers to transposed-layout row/column
+    fusions that measured ~0.3 ms per level-eye at bench shapes, while the
+    MXU eats the (mostly-zero) dense operators in tens of microseconds.
+
+    blur_sigma > 0 composes an edge-replicated Gaussian pre-blur into the
+    same matrices (exact: both operators are linear)."""
+    H, W = img.shape[-2:]
+    My = jnp.asarray(_resample_matrix(H, out_h, blur_sigma))   # [H, H']
+    Mx = jnp.asarray(_resample_matrix(W, out_w, blur_sigma))   # [W, W']
+    return _apply_separable(img, My, Mx)
+
+
+# Resampling matmul precision.  DEFAULT (bf16 operands, f32 accumulation)
+# rounds intensities by +-0.5 — the same quantization as cv::resize on
+# uint8 — and with the COMPOSED per-level operators each level sees that
+# rounding exactly once (no cascade compounding; compounded bf16 through a
+# serial cascade measurably drifted the VO: bench lane ATE 0.027 -> 0.26).
+RESIZE_PRECISION = None
+
+
+def _apply_separable(img: jnp.ndarray, My: jnp.ndarray, Mx: jnp.ndarray):
+    r = jnp.einsum("...hw,ho->...ow", img, My, precision=RESIZE_PRECISION)
+    return jnp.einsum("...ow,wv->...ov", r, Mx, precision=RESIZE_PRECISION)
+
+
+@functools.lru_cache(maxsize=16)
+def _pyramid_matrices(H: int, W: int, n_levels: int, scale: float,
+                      blur_sigma: float):
+    """Per-level composed resampling operators from the BASE image.
+
+    Level l of the ORB pyramid is blur(0.6) + bilinear-resize applied l
+    times in cascade.  Every step is linear, so the whole cascade folds
+    into one (My_l, Mx_l) pair per level — bit-equivalent semantics (in
+    f64) with no serial level chain and no per-step rounding."""
+    mats = []
+    My = Mx = None
+    for lv in range(1, n_levels):
+        s = scale ** lv
+        nh, nw = max(16, int(round(H / s))), max(16, int(round(W / s)))
+        step_y = _resample_matrix(My.shape[1] if My is not None else H,
+                                  nh, blur_sigma).astype(np.float64)
+        step_x = _resample_matrix(Mx.shape[1] if Mx is not None else W,
+                                  nw, blur_sigma).astype(np.float64)
+        My = step_y if My is None else My @ step_y
+        Mx = step_x if Mx is None else Mx @ step_x
+        mats.append((My.astype(np.float32), Mx.astype(np.float32)))
+    return mats
+
+
+def pyramid_levels(img: jnp.ndarray, n_levels: int, scale: float,
+                   blur_sigma: float = 0.6) -> list[jnp.ndarray]:
+    """[img, level1, ..., level_{n-1}]: each level computed directly from
+    the base image through the composed cascade operator (see
+    _pyramid_matrices)."""
+    H, W = img.shape[-2:]
+    out = [img]
+    for My, Mx in _pyramid_matrices(H, W, n_levels, scale, blur_sigma):
+        out.append(_apply_separable(img, jnp.asarray(My), jnp.asarray(Mx)))
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("n_levels", "scale_factor"))

@@ -30,7 +30,7 @@ N_BANDS = 9
 BAND_W = 7           # widthOfBand_ = 7 (descriptor_custom.hpp:189-213)
 N_SAMPLES = 8        # samples along the line direction
 REGION_PX = N_BANDS * BAND_W   # 63-pixel-wide support region
-N_TAPS = 5           # perpendicular taps (stride ~15 px): the band statistics
+N_TAPS = 7           # perpendicular taps (stride ~10 px): the band statistics
                      # are Gaussian-weighted sums, so subsampling the region
                      # trades nothing measurable — and the TPU gather cost
                      # (scalar-unit bound, ~8 cycles/index), the dominant
@@ -38,6 +38,9 @@ N_TAPS = 5           # perpendicular taps (stride ~15 px): the band statistics
                      # alternative (VMEM slices + MXU tap select) measured
                      # ~0.3 us/chunk — slower than XLA's gather at these
                      # budgets — and was removed; see BASELINE.md log.
+                     # 5 taps (+15 fps, bench ATE unchanged) was REJECTED:
+                     # the less distinctive descriptor flips the stuck-
+                     # overlay adversarial e2e from tracking to lost.
 PRE_SIGMA = 0.0      # optional gradient pre-blur (0 = off: blurring cancels
                      # thin-line gradient pairs and measurably hurts matching)
 DESC_F = N_BANDS * 8  # 72 floats

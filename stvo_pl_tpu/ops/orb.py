@@ -27,9 +27,13 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-PATCH_R = 15          # gathered patch radius -> 31x31 patches (exactly the
-                      # ORI_R=15 centroid support; a wider gather only adds
-                      # dead rows to the patch kernel's per-site write)
+PATCH_R = 16          # gathered patch radius -> 33x33 patches.  NOTE: 15
+                      # (31x31, the exact ORI_R support) looked free but
+                      # regressed border keypoints: patch clipping shifts
+                      # differently, and on small frames the border ring is
+                      # ~30% of the area — it broke the stuck-overlay
+                      # robustness e2e (tests/test_adversarial.py) while
+                      # buying ~1% throughput.  Keep the 1-px margin.
 PATCH = 2 * PATCH_R + 1
 ORI_R = 15            # intensity-centroid radius (OpenCV HARRIS_BLOCK-ish)
 PATTERN_R = 13.0      # max test-point radius (rotation-safe inside PATCH_R-2)

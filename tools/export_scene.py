@@ -29,6 +29,10 @@ def main():
     args = ap.parse_args()
 
     import jax
+    # force CPU even when the axon site hook pre-imported jax (env vars are
+    # too late by then — see CLAUDE.md); scene export must not contend for
+    # the TPU chip
+    jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     from PIL import Image
 
