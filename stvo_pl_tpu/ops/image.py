@@ -134,9 +134,12 @@ def _resample_matrix(n_in: int, n_out: int, blur_sigma: float) -> np.ndarray:
 
 def resize_bilinear(img: jnp.ndarray, out_h: int, out_w: int,
                     blur_sigma: float = 0.0) -> jnp.ndarray:
-    """Bilinear resize, batched [..., H, W] (cv::resize INTER_LINEAR
-    equivalent — NO antialiasing, like the cv::ORB pyramid the reference
-    consumes).  Runs as two dense matmuls against 2-tap interpolation
+    """Bilinear resize, batched [..., H, W].  The downsample path IS
+    antialiased (jax.image.resize semantics: the triangle kernel width
+    scales with the in/out ratio, see _resample_matrix) — deliberately
+    unlike cv::resize INTER_LINEAR; BASELINE.md records AA as load-bearing
+    for the stuck-overlay adversarial e2e (non-AA 2-tap was tried and
+    reverted).  Runs as two dense matmuls against the interpolation
     matrices: jax.image.resize lowers to transposed-layout row/column
     fusions that measured ~0.3 ms per level-eye at bench shapes, while the
     MXU eats the (mostly-zero) dense operators in tens of microseconds.

@@ -70,10 +70,12 @@ def restore():
 def lbd_zero():
     def fake(gx, gy, sp, ep):
         K = sp.shape[0]
-        # consume inputs so the Sobel feed is not dead-code-eliminated
+        # consume inputs so the Sobel feed is not dead-code-eliminated;
+        # fold z into BOTH outputs — call sites discard the float one
+        # (frame.py: "_, desc_b = lbd.compute_lbd(...)")
         z = (gx[0, 0] + gy[0, 0]) * 0.0
         return (jnp.zeros((K, lbd_mod.DESC_F)) + z,
-                jnp.zeros((K, 8), jnp.uint32))
+                jnp.zeros((K, 8), jnp.uint32) + z.astype(jnp.uint32))
     lbd_mod.compute_lbd = fake
 
 
