@@ -109,8 +109,23 @@ class VOConfig:
 
     # EDLine-style alternative line detector (ops/edline.py) — the
     # reference vendors EDLineDetector but never reaches it from StVO;
-    # here it is selectable (TPU-native addition, quality A/B in EVAL.md)
+    # here it is the selectable QUALITY mode (TPU-native addition,
+    # repeatability A/B in EVAL.md §2).  Knob semantics follow EDLineParam
+    # (3rdparty/.../descriptor_custom.hpp: gradienThreshold,
+    # anchorThreshold, ...); split rounds are the dense analogue of
+    # EDLine's walk-and-refit segment splitting (LeastSquaresLineFit_,
+    # binary_descriptor_custom.cpp:2484-2643).
     use_edlines: bool = False
+    edline_grad_th: float = 20.0
+    edline_anchor_th: float = 8.0
+    # chaining orientation gate: 20 deg measured optimal for repeatability
+    # (45 deg let chains wander across junctions non-deterministically —
+    # rot15 repeatability 0.24 vs 0.50 at 20 deg, EVAL.md §2)
+    edline_ang_tol: float = 20.0
+    edline_min_support: int = 10     # min pixels per segment
+    edline_straight_tol: float = 0.1 # max minor/major eigenvalue ratio
+    edline_density_th: float = 0.4   # min support pixels per unit length
+    edline_split_rounds: int = 2     # curvature-break splitting depth
 
     # ---- TPU-native additions -----------------------------------------
     # spatial grid (reference GRID_ROWS/GRID_COLS, include/stereoFrame.h:51-52)
@@ -118,6 +133,13 @@ class VOConfig:
     grid_cols: int = 64
     # number of discrete line orientations scanned by the dense detector
     lsd_n_dirs: int = 12
+    # sub-pixel point localization (ops/subpix.py): Foerstner/cornerSubPix
+    # corner refinement on the ORB patches, and photometric parabola
+    # refinement of the matched stereo disparity.  The reference has no
+    # point-side equivalent (cv::ORB reports integer*scale coords); both
+    # reuse already-gathered patches so they are nearly free.
+    subpix_points: bool = True
+    subpix_disp: bool = True
     # compute dtype for the geometry/optimizer path ("float32" on TPU;
     # "float64" available on CPU for parity studies)
     dtype: str = "float32"

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from stvo_pl_tpu.config import VOConfig
 from stvo_pl_tpu.ops import camera as cam_ops
 from stvo_pl_tpu.ops import fast as fast_ops
-from stvo_pl_tpu.ops import hamming, lbd, lsd, matching, orb
+from stvo_pl_tpu.ops import hamming, lbd, lsd, matching, orb, subpix
 from stvo_pl_tpu.ops.image import gaussian_blur, pyramid_levels, sobel
 from stvo_pl_tpu.models.features import (LineSet, PointSet, empty_lines,
                                          empty_points)
@@ -53,45 +53,86 @@ def _per_level_budgets(cfg: VOConfig) -> list[int]:
     return budgets
 
 
-def detect_points_multilevel(img: jnp.ndarray, fast_th: jnp.ndarray,
-                             cfg: VOConfig):
-    """Multi-level FAST + oriented-BRIEF on one image.
+class DetectedPoints(NamedTuple):
+    """Fixed-capacity multi-level point detections for one image.
 
-    Returns (uv [K,2] level-0 coords, desc [K,8], level [K], score [K],
-    valid [K]) with K = cfg.orb_nfeatures.
+    uv/uvc are level-0 coordinates; patch is the central slice of the
+    blurred ORB patch kept for photometric stereo refinement (empty [K,0,0]
+    when cfg.subpix_disp is off).
+    """
+    uv: jnp.ndarray      # [K, 2] sub-pixel refined level-0 coords
+    desc: jnp.ndarray    # [K, 8] uint32
+    level: jnp.ndarray   # [K] int32
+    score: jnp.ndarray   # [K]
+    valid: jnp.ndarray   # [K] bool
+    uvc: jnp.ndarray     # [K, 2] integer patch-gather centers * scale
+    patch: jnp.ndarray   # [K, Q, Q] central blurred-patch slice
+
+
+_PATCH_SLICE_R = subpix.SSD_R + 1    # SSD window + 1px shift margin
+
+
+def detect_points_multilevel(img: jnp.ndarray, fast_th: jnp.ndarray,
+                             cfg: VOConfig) -> DetectedPoints:
+    """Multi-level FAST + oriented-BRIEF on one image, K = cfg.orb_nfeatures.
 
     Mirrors detectPointFeatures (src/stereoFrame.cpp:104-118): ORB with
     orb_nlevels / orb_scale_factor / fast threshold, features reported in
-    level-0 coordinates with their octave.
+    level-0 coordinates with their octave.  Beyond the reference, corners
+    are sub-pixel (parabola fit on the FAST-response neighborhood, fused
+    into the detection kernel) — cv::ORB only gets fractional coords from
+    the integer*scale^level product.
     """
     budgets = _per_level_budgets(cfg)
     uvs, descs, levels, scores, valids = [], [], [], [], []
+    uvcs, patches = [], []
     pyr = pyramid_levels(img, cfg.orb_nlevels, cfg.orb_scale_factor,
                          blur_sigma=0.6)
     for lv in range(cfg.orb_nlevels):
         cur = pyr[lv]
         uv, sc, v = fast_ops.detect_keypoints(
             cur, fast_th, budgets[lv], edge=cfg.orb_edge_th, cell=4,
-            score_type=cfg.orb_score)
+            score_type=cfg.orb_score, subpix=cfg.subpix_points)
         blur = gaussian_blur(cur, 2.0, radius=3)
-        desc, _, _ = orb.orient_and_describe(cur, blur, uv,
-                                             patch_size=cfg.orb_patch_size)
+        p = orb.gather_patches(blur, uv)
+        c, s = orb.orientation(p)
+        desc = orb.describe(p, c, s, patch_size=cfg.orb_patch_size)
         scale = cfg.orb_scale_factor ** lv
+        # integer gather centers (gather_patches clamping semantics)
+        Hl, Wl = cur.shape
+        R = orb.PATCH_R
+        cx = jnp.clip(jnp.round(uv[:, 0]), R, Wl - 1 - R)
+        cy = jnp.clip(jnp.round(uv[:, 1]), R, Hl - 1 - R)
+        uvcs.append(jnp.stack([cx, cy], axis=-1) * scale)
+        if cfg.subpix_disp:
+            q = _PATCH_SLICE_R
+            patches.append(p[:, R - q:R + q + 1, R - q:R + q + 1])
+        else:
+            patches.append(p[:, :0, :0])
         uvs.append(uv * scale)
         descs.append(desc)
         levels.append(jnp.full((budgets[lv],), lv, jnp.int32))
         scores.append(sc)
         valids.append(v)
-    return (jnp.concatenate(uvs), jnp.concatenate(descs),
-            jnp.concatenate(levels), jnp.concatenate(scores),
-            jnp.concatenate(valids))
+    return DetectedPoints(
+        uv=jnp.concatenate(uvs), desc=jnp.concatenate(descs),
+        level=jnp.concatenate(levels), score=jnp.concatenate(scores),
+        valid=jnp.concatenate(valids), uvc=jnp.concatenate(uvcs),
+        patch=jnp.concatenate(patches))
 
 
-def match_stereo_points(uv_l, desc_l, level_l, valid_l,
-                        uv_r, desc_r, valid_r,
+def match_stereo_points(det_l: DetectedPoints, det_r: DetectedPoints,
                         cam: cam_ops.StereoCamera, cfg: VOConfig) -> PointSet:
     """Grid-windowed stereo matching + epipolar/disparity filters +
-    back-projection (matchStereoPoints, src/stereoFrame.cpp:120-173)."""
+    back-projection (matchStereoPoints, src/stereoFrame.cpp:120-173).
+
+    With cfg.subpix_disp, the matched disparity is re-estimated
+    photometrically (1-D SSD parabola between the stereo patches,
+    ops/subpix.py) when both corners share a pyramid level — sharper than
+    differencing two independently-localized corner x's."""
+    uv_l, desc_l, level_l, valid_l = (det_l.uv, det_l.desc, det_l.level,
+                                      det_l.valid)
+    uv_r, desc_r, valid_r = det_r.uv, det_r.desc, det_r.valid
     inv_w = cfg.grid_cols / float(cam.width)
     inv_h = cfg.grid_rows / float(cam.height)
 
@@ -107,6 +148,13 @@ def match_stereo_points(uv_l, desc_l, level_l, valid_l,
     # epipolar + min disparity (src/stereoFrame.cpp:157-160)
     epip_ok = jnp.abs(uv_l[:, 1] - uv_rm[:, 1]) <= cfg.max_dist_epip
     disp = uv_l[:, 0] - uv_rm[:, 0]
+    if cfg.subpix_disp:
+        scale_l = cfg.orb_scale_factor ** level_l.astype(uv_l.dtype)
+        shift, sok = subpix.disparity_shift(det_l.patch, det_r.patch[j])
+        d_photo = (det_l.uvc[:, 0] - det_r.uvc[j, 0]) - scale_l * shift
+        use = (sok & (level_l == det_r.level[j])
+               & (jnp.abs(d_photo - disp) <= 2.0 * scale_l))
+        disp = jnp.where(use, d_photo, disp)
     disp_ok = disp >= cfg.min_disp
     ok = res.valid & epip_ok & disp_ok
 
@@ -224,13 +272,9 @@ def extract_stereo_features(img_l: jnp.ndarray, img_r: jnp.ndarray,
     """Full per-frame front end (extractStereoFeatures,
     src/stereoFrame.cpp:59-75): points and lines, L and R, one XLA program."""
     if cfg.has_points:
-        uv_l, desc_l, level_l, _, valid_l = detect_points_multilevel(
-            img_l, fast_th, cfg)
-        uv_r, desc_r, level_r, _, valid_r = detect_points_multilevel(
-            img_r, fast_th, cfg)
-        points = match_stereo_points(
-            uv_l, desc_l, level_l, valid_l,
-            uv_r, desc_r, valid_r, cam, cfg)
+        det_l = detect_points_multilevel(img_l, fast_th, cfg)
+        det_r = detect_points_multilevel(img_r, fast_th, cfg)
+        points = match_stereo_points(det_l, det_r, cam, cfg)
     else:
         points = empty_points(cfg.point_capacity)
 
@@ -238,8 +282,15 @@ def extract_stereo_features(img_l: jnp.ndarray, img_r: jnp.ndarray,
         def detect_one(im):
             if cfg.use_edlines:
                 from stvo_pl_tpu.ops.edline import detect_edlines
-                segs = detect_edlines(im, min_line_length,
-                                      capacity=cfg.line_capacity)
+                segs = detect_edlines(
+                    im, min_line_length, capacity=cfg.line_capacity,
+                    grad_th=cfg.edline_grad_th,
+                    anchor_th=cfg.edline_anchor_th,
+                    ang_tol_deg=cfg.edline_ang_tol,
+                    min_support=cfg.edline_min_support,
+                    straight_tol=cfg.edline_straight_tol,
+                    density_th=cfg.edline_density_th,
+                    split_rounds=cfg.edline_split_rounds)
             else:
                 segs = lsd.detect_line_segments(
                     im, min_line_length, capacity=cfg.line_capacity,
@@ -285,8 +336,8 @@ def extract_rgbd_features(img: jnp.ndarray, depth: jnp.ndarray,
     min_disp.  depth is metric float32 [H, W]; invalid pixels <= 0.
     """
     if cfg.has_points:
-        uv, desc, level, score, valid = detect_points_multilevel(
-            img, fast_th, cfg)
+        det = detect_points_multilevel(img, fast_th, cfg)
+        uv, desc, level, valid = det.uv, det.desc, det.level, det.valid
         d = _sample_depth(depth, uv)
         depth_ok = (d > cfg.rgbd_min_depth) & (d < cfg.rgbd_max_depth)
         disp = cam.fx * cam.b / jnp.where(depth_ok, d, 1.0)
@@ -299,11 +350,22 @@ def extract_rgbd_features(img: jnp.ndarray, depth: jnp.ndarray,
         points = empty_points(cfg.point_capacity)
 
     if cfg.has_lines:
-        segs = lsd.detect_line_segments(
-            img, min_line_length, capacity=cfg.line_capacity,
-            n_dirs=cfg.lsd_n_dirs, ang_th_deg=cfg.lsd_ang_th,
-            quant=cfg.lsd_quant, density_th=cfg.lsd_density_th,
-            log_eps=(cfg.lsd_log_eps if cfg.lsd_refine >= 2 else -1.0))
+        if cfg.use_edlines:
+            from stvo_pl_tpu.ops.edline import detect_edlines
+            segs = detect_edlines(
+                img, min_line_length, capacity=cfg.line_capacity,
+                grad_th=cfg.edline_grad_th, anchor_th=cfg.edline_anchor_th,
+                ang_tol_deg=cfg.edline_ang_tol,
+                min_support=cfg.edline_min_support,
+                straight_tol=cfg.edline_straight_tol,
+                density_th=cfg.edline_density_th,
+                split_rounds=cfg.edline_split_rounds)
+        else:
+            segs = lsd.detect_line_segments(
+                img, min_line_length, capacity=cfg.line_capacity,
+                n_dirs=cfg.lsd_n_dirs, ang_th_deg=cfg.lsd_ang_th,
+                quant=cfg.lsd_quant, density_th=cfg.lsd_density_th,
+                log_eps=(cfg.lsd_log_eps if cfg.lsd_refine >= 2 else -1.0))
         gx, gy = sobel(img)
         _, ldesc = lbd.compute_lbd(gx, gy, segs.sp, segs.ep)
         ds = _sample_depth(depth, segs.sp)

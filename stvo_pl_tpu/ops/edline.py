@@ -13,20 +13,27 @@ dense, fixed-capacity array passes — no sequential pixel walking:
      pixel carries the min flat-index of its component; labels converge
      by alternating masked 8-neighbor min-propagation with pointer
      jumping (L <- L[L]), log-depth instead of a pixel walk;
-  4. per-component moments by scatter-add (count, Sx, Sy, Sxx, Syy, Sxy,
-     bbox), top-K components by support -> fixed-capacity segments;
-  5. least-squares line fit from the moments (principal axis of the
+  4. curvature-break splitting (the dense analogue of EDLine's
+     walk-and-refit in LeastSquaresLineFit_ :2484-2643): components that
+     fail the straightness gate are cut at their maximum-deviation pixel
+     (Douglas-Peucker step) and relabeled; `split_rounds` recursions turn
+     one curved contour into up to 2^rounds straight pieces whose break
+     points sit at geometric corners — rotation-stable endpoints;
+  5. per-component moments by scatter-add (count, Sx, Sy, Sxx, Syy, Sxy),
+     top-K components by support -> fixed-capacity segments;
+  6. least-squares line fit from the moments (principal axis of the
      point covariance, LeastSquaresLineFit_ :2484), endpoints from the
-     bbox projected onto the fitted axis;
-  6. validation (LineValidation_ :2645 in spirit): minimum support,
+     exact extent of the support projected on the fitted axis
+     (scatter-min/max of the axis parameter — tighter than bbox corners);
+  7. validation (LineValidation_ :2645 in spirit): minimum support,
      minimum length, straightness (minor/major eigenvalue ratio) and
      density gates.
 
 The continuous gradient orientation makes chains rotation-equivariant —
 no direction quantization anywhere — which is exactly where the dense
 n_dirs run detector loses repeatability (EVAL.md §2).  Selectable via
-``use_edlines`` (a TPU-native addition; the reference never reaches its
-EDLine from StVO).
+``use_edlines`` with the edline_* VOConfig knobs (a TPU-native addition;
+the reference never reaches its EDLine from StVO).
 """
 
 from __future__ import annotations
@@ -63,23 +70,128 @@ def _ang_diff_mod_pi(a, b):
     return jnp.minimum(d, jnp.pi - d)
 
 
-@functools.partial(jax.jit, static_argnames=("capacity", "n_rounds"))
+def _label(edge, connect_extra, n_rounds, flat, BIG, H, W):
+    """Masked neighbor min-label propagation with pointer jumping.
+
+    connect_extra: {(dy, dx): [H, W] bool} — the neighbor offsets to
+    connect through (8-neighborhood, plus distance-2 bridges when gap
+    tolerance is on) with the per-direction connection gate (orientation
+    similarity, same-side, ...).
+    """
+    L = jnp.where(edge, flat, BIG)
+
+    def nbr_min(L):
+        best = L
+        for (dy, dx), gate in connect_extra.items():
+            Ln = _shift(L, dy, dx, BIG)
+            ok = edge & (Ln < BIG) & gate
+            best = jnp.minimum(best, jnp.where(ok, Ln, BIG))
+        return best
+
+    def body(L, _):
+        L = nbr_min(L)
+        # pointer jump: follow the label one hop (L is a flat index)
+        Lj = jnp.where(L < BIG, L, 0)
+        L2 = L.reshape(-1)[Lj.reshape(-1)].reshape(H, W)
+        L = jnp.where(L < BIG, jnp.minimum(L, L2), BIG)
+        return L, None
+
+    L, _ = jax.lax.scan(body, L, None, length=n_rounds)
+    return L
+
+
+def _moments(L, edge, xx, yy, P, BIG):
+    """Per-component first/second moments by scatter-add -> [P] arrays."""
+    lf = jnp.where(edge, L, BIG).reshape(-1)
+    xf = jnp.broadcast_to(xx.astype(jnp.float32), L.shape).reshape(-1)
+    yf = jnp.broadcast_to(yy.astype(jnp.float32), L.shape).reshape(-1)
+    idx = jnp.where(lf < BIG, lf, 0)
+    live = lf < BIG
+
+    def scat(vals):
+        return jnp.zeros((P,), jnp.float32).at[idx].add(
+            jnp.where(live, vals, 0.0))
+
+    return {"cnt": scat(jnp.ones_like(xf)), "sx": scat(xf), "sy": scat(yf),
+            "sxx": scat(xf * xf), "syy": scat(yf * yf),
+            "sxy": scat(xf * yf)}, idx, live, xf, yf
+
+
+def _fit(m):
+    """Principal-axis fit from moment arrays -> per-root fit arrays."""
+    n = jnp.maximum(m["cnt"], 1.0)
+    mx = m["sx"] / n
+    my = m["sy"] / n
+    cxx = m["sxx"] / n - mx * mx
+    cyy = m["syy"] / n - my * my
+    cxy = m["sxy"] / n - mx * my
+    tr = cxx + cyy
+    det = cxx * cyy - cxy * cxy
+    disc = jnp.sqrt(jnp.maximum(tr * tr / 4.0 - det, 0.0))
+    lam1 = tr / 2.0 + disc                       # major
+    lam2 = jnp.maximum(tr / 2.0 - disc, 0.0)     # minor
+    # cxy ~ 0: the axis is one of the coordinate axes (pick the larger
+    # variance; the old `1.0` fallback mis-oriented exactly-vertical lines)
+    dx_dir = jnp.where(jnp.abs(cxy) > 1e-9, lam1 - cyy,
+                       jnp.where(cxx >= cyy, 1.0, 0.0))
+    dy_dir = jnp.where(jnp.abs(cxy) > 1e-9, cxy,
+                       jnp.where(cxx >= cyy, 0.0, 1.0))
+    norm = jnp.sqrt(dx_dir ** 2 + dy_dir ** 2)
+    return {"mx": mx, "my": my, "ux": dx_dir / jnp.maximum(norm, 1e-9),
+            "uy": dy_dir / jnp.maximum(norm, 1e-9),
+            "lam1": lam1, "lam2": lam2}
+
+
+# split-point packing: 11 bits quantized residual (1/8 px up to 255 px)
+# above 19 bits quantized axis parameter (1/4 px, |t| < 2^16) — max word
+# 2047 * 2^19 + 2^19 - 1 = 1.07e9 < 2^31, int32-safe for scatter-max.
+_T_BITS = 19
+_T_HALF = 1 << (_T_BITS - 1)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("capacity", "n_rounds", "min_support",
+                                    "split_rounds", "bridge_gaps", "thin",
+                                    "smooth_sigma"))
 def detect_edlines(img: jnp.ndarray, min_length: jnp.ndarray,
                    capacity: int = 300, grad_th: float = 20.0,
-                   anchor_th: float = 8.0, ang_tol_deg: float = 45.0,
+                   anchor_th: float = 8.0, ang_tol_deg: float = 20.0,
                    min_support: int = 10, straight_tol: float = 0.1,
                    density_th: float = 0.4,
-                   n_rounds: int = 12) -> LineSegments:
+                   n_rounds: int = 12,
+                   split_rounds: int = 2,
+                   hyst_ratio: float = 0.5,
+                   bridge_gaps: bool = False,
+                   thin: bool = True,
+                   smooth_sigma: float = 1.0) -> LineSegments:
     """Detect line segments; returns fixed-capacity LineSegments.
 
     grad_th/anchor_th follow EDLine's gradiantThreshold/anchorThreshold
     semantics (descriptor_custom.hpp EDLineParam); n_rounds bounds the
-    chaining diameter at ~2^n_rounds pixels.
+    chaining diameter at ~2^n_rounds pixels; split_rounds recursively cuts
+    non-straight components at their max-deviation pixel (0 disables).
+
+    Repeatability hardening (under resampling/rotation, chains would
+    otherwise fragment differently — measured 40% of rot-15 segments had
+    no counterpart at all): `hyst_ratio` chains NMS survivors down to
+    hyst_ratio*grad_th (Canny-style hysteresis; the per-chain anchor test
+    still demands a pixel above grad_th+anchor_th), and `bridge_gaps`
+    additionally connects over single-pixel chain gaps (distance-2
+    neighbors), like EDLine's directional walk that steps over one weak
+    pixel.
     """
     H, W = img.shape
     P = H * W
     BIG = jnp.int32(P)
 
+    # Gaussian pre-smoothing, like the reference EDLine (GaussianBlur
+    # before gradients, binary_descriptor_custom.cpp EDLine setup) and
+    # cv2 LSD's scaled Gaussian: on hard-edged (non-antialiased) strokes
+    # the raw-staircase Sobel orientation wobbles > 20 deg pixel-to-pixel
+    # and the tight chaining gate would fragment perfect lines.
+    if smooth_sigma > 0:
+        from stvo_pl_tpu.ops.image import gaussian_blur
+        img = gaussian_blur(img, smooth_sigma, radius=2)
     gx, gy = sobel(img)
     mag = jnp.sqrt(gx * gx + gy * gy)
     theta = jnp.arctan2(gy, gx) % jnp.pi          # gradient orientation
@@ -106,106 +218,118 @@ def detect_edlines(img: jnp.ndarray, min_length: jnp.ndarray,
         m2 = _shift(mag_e, -dy2, -dx2, 0.0)
         k = (mag_e > m1) & (mag_e > m2)
         keep = jnp.where(sector == s, k, keep)
-    edge = keep & (mag > grad_th)
+    # hysteresis: thin everywhere, keep chains down to hyst_ratio*grad_th
+    # (the anchor gate below still requires a strong pixel per chain);
+    # thin=False keeps the full aligned-support region (LSD-style)
+    edge = keep if thin else jnp.ones_like(keep)
+    edge = edge & (mag > hyst_ratio * grad_th)
     # border guard (Sobel halo)
     yy = jnp.arange(H)[:, None]
     xx = jnp.arange(W)[None, :]
     edge = edge & (yy > 1) & (yy < H - 2) & (xx > 1) & (xx < W - 2)
 
     # --- 3. orientation-gated connected labeling -----------------------
+    offsets = list(_N8)
+    if bridge_gaps:
+        offsets += [(2 * dy, 2 * dx) for dy, dx in _N8]
     flat = (yy * W + xx).astype(jnp.int32)
-    L = jnp.where(edge, flat, BIG)
     tol = jnp.deg2rad(ang_tol_deg)
+    tangent = (theta + jnp.pi / 2.0) % jnp.pi
+    ori_gate = {}
+    for dy, dx in offsets:
+        thn = _shift(theta, dy, dx, 1e3)
+        g = _ang_diff_mod_pi(theta, thn) < tol
+        if max(abs(dy), abs(dx)) > 1:
+            # distance-2 bridge: only continue ALONG the chain (offset
+            # parallel to the edge tangent on both ends) — otherwise
+            # parallel chains 2 px apart merge into non-straight blobs
+            off_ang = jnp.arctan2(dy, dx) % jnp.pi
+            btol = jnp.deg2rad(30.0)
+            tgn = _shift(tangent, dy, dx, 1e3)
+            g = (g & (_ang_diff_mod_pi(tangent, off_ang) < btol)
+                 & (_ang_diff_mod_pi(tgn, off_ang) < btol))
+        ori_gate[(dy, dx)] = g
+    L = _label(edge, ori_gate, n_rounds, flat, BIG, H, W)
 
-    def nbr_min(L):
-        best = L
-        for dy, dx in _N8:
+    # --- 4. curvature-break splitting (Douglas-Peucker rounds) ---------
+    side = jnp.zeros((H, W), jnp.int32)
+    for _round in range(split_rounds):
+        m, idx, live, xf, yf = _moments(L, edge, xx, yy, P, BIG)
+        f = _fit(m)
+        root = jnp.where(edge, L, 0).reshape(-1)
+        mx = f["mx"][root]
+        my = f["my"][root]
+        ux = f["ux"][root]
+        uy = f["uy"][root]
+        t = (xf - mx) * ux + (yf - my) * uy
+        res = jnp.abs(-(xf - mx) * uy + (yf - my) * ux)
+        # which components split: fail straightness with enough support
+        unstraight = (f["lam2"] > straight_tol * f["lam1"])
+        do_split = (unstraight & (m["cnt"] >= 2 * min_support))[root] & live
+        # per-component argmax-residual pixel's t, via packed scatter-max
+        rq = jnp.clip((res * 8.0).astype(jnp.int32), 0, 2047)
+        tq = jnp.clip((t * 4.0).astype(jnp.int32) + _T_HALF, 0,
+                      (1 << _T_BITS) - 1)
+        packed = jnp.where(do_split, (rq << _T_BITS) + tq, 0)
+        best = jnp.zeros((P,), jnp.int32).at[idx].max(packed)
+        t_split = ((best[root] & ((1 << _T_BITS) - 1)) - _T_HALF) \
+            .astype(jnp.float32) * 0.25
+        # side values only need to be distinct WITHIN a component (the
+        # relabel gate already requires equal old roots), so +1 suffices
+        side_f = side.reshape(-1)
+        side = jnp.where(do_split & (t > t_split), side_f + 1,
+                         side_f).reshape(H, W)
+        # relabel: connect only same old component AND same side
+        gate = {}
+        for dy, dx in offsets:
             Ln = _shift(L, dy, dx, BIG)
-            thn = _shift(theta, dy, dx, 1e3)
-            ok = edge & (Ln < BIG) & (_ang_diff_mod_pi(theta, thn) < tol)
-            best = jnp.minimum(best, jnp.where(ok, Ln, BIG))
-        return best
+            sn = _shift(side, dy, dx, -1)
+            gate[(dy, dx)] = (Ln == L) & (sn == side)
+        L = _label(edge, gate, n_rounds, flat, BIG, H, W)
 
-    def body(L, _):
-        L = nbr_min(L)
-        # pointer jump: follow the label one hop (L is a flat index)
-        Lj = jnp.where(L < BIG, L, 0)
-        L2 = L.reshape(-1)[Lj.reshape(-1)].reshape(H, W)
-        L = jnp.where(L < BIG, jnp.minimum(L, L2), BIG)
-        return L, None
-
-    L, _ = jax.lax.scan(body, L, None, length=n_rounds)
-
-    # --- 4. per-component moments by scatter-add -----------------------
+    # --- 5. per-component moments of the final labels ------------------
+    m, idx, live, xf, yf = _moments(L, edge, xx, yy, P, BIG)
     lf = jnp.where(edge, L, BIG).reshape(-1)
-    xf = jnp.broadcast_to(xx.astype(jnp.float32), (H, W)).reshape(-1)
-    yf = jnp.broadcast_to(yy.astype(jnp.float32), (H, W)).reshape(-1)
-    wgt = edge.reshape(-1).astype(jnp.float32)
-    idx = jnp.where(lf < BIG, lf, 0)
 
-    def scat(vals, init, combine="add"):
+    def scat_reduce(vals, init, combine):
         z = jnp.full((P,), init, jnp.float32)
-        v = jnp.where(lf < BIG, vals, init)
-        if combine == "add":
-            return z.at[idx].add(jnp.where(lf < BIG, vals, 0.0))
+        v = jnp.where(live, vals, init)
         if combine == "min":
             return z.at[idx].min(v)
         return z.at[idx].max(v)
 
-    cnt = scat(wgt, 0.0)
-    mmax = scat(mag.reshape(-1), 0.0, "max")   # anchor test: the chain must
-    #   contain one prominent pixel (EDLine seeds chains at anchors only)
-    sx = scat(xf, 0.0)
-    sy = scat(yf, 0.0)
-    sxx = scat(xf * xf, 0.0)
-    syy = scat(yf * yf, 0.0)
-    sxy = scat(xf * yf, 0.0)
-    smag = scat(mag.reshape(-1), 0.0)
-    bx0 = scat(xf, 1e9, "min")
-    bx1 = scat(xf, -1e9, "max")
-    by0 = scat(yf, 1e9, "min")
-    by1 = scat(yf, -1e9, "max")
+    cnt_all = m["cnt"]
+    mmax = scat_reduce(mag.reshape(-1), 0.0, "max")  # anchor test: the chain
+    #   must contain one prominent pixel (EDLine seeds chains at anchors only)
+    smag = jnp.zeros((P,), jnp.float32).at[idx].add(
+        jnp.where(live, mag.reshape(-1), 0.0))
 
-    score = jnp.where(cnt >= min_support, cnt, 0.0)
+    score = jnp.where(cnt_all >= min_support, cnt_all, 0.0)
     top, roots = jax.lax.top_k(score, capacity)
 
     def take(a):
         return a[roots]
 
-    n = take(cnt)
-    n_safe = jnp.maximum(n, 1.0)
-    mx = take(sx) / n_safe
-    my = take(sy) / n_safe
-    cxx = take(sxx) / n_safe - mx * mx
-    cyy = take(syy) / n_safe - my * my
-    cxy = take(sxy) / n_safe - mx * my
+    f = _fit(m)
+    n = take(cnt_all)
+    mx = take(f["mx"])
+    my = take(f["my"])
+    ux = take(f["ux"])
+    uy = take(f["uy"])
+    lam1 = take(f["lam1"])
+    lam2 = take(f["lam2"])
 
-    # --- 5. principal-axis fit + endpoints from the bbox ---------------
-    tr = cxx + cyy
-    det = cxx * cyy - cxy * cxy
-    disc = jnp.sqrt(jnp.maximum(tr * tr / 4.0 - det, 0.0))
-    lam1 = tr / 2.0 + disc                       # major
-    lam2 = jnp.maximum(tr / 2.0 - disc, 0.0)     # minor
-    # eigenvector of the major eigenvalue
-    dx_dir = jnp.where(jnp.abs(cxy) > 1e-9, lam1 - cyy, 1.0)
-    dy_dir = jnp.where(jnp.abs(cxy) > 1e-9, cxy,
-                       jnp.where(cxx >= cyy, 0.0, 1.0))
-    norm = jnp.sqrt(dx_dir ** 2 + dy_dir ** 2)
-    ux = dx_dir / jnp.maximum(norm, 1e-9)
-    uy = dy_dir / jnp.maximum(norm, 1e-9)
-
-    # project bbox corners on the axis, take extremes
-    corners_x = jnp.stack([take(bx0), take(bx1), take(bx0), take(bx1)], -1)
-    corners_y = jnp.stack([take(by0), take(by0), take(by1), take(by1)], -1)
-    t = (corners_x - mx[:, None]) * ux[:, None] \
-        + (corners_y - my[:, None]) * uy[:, None]
-    t0 = jnp.min(t, axis=-1)
-    t1 = jnp.max(t, axis=-1)
+    # --- 6. endpoints: exact extent of the support on the fitted axis --
+    root = jnp.where(edge, L, 0).reshape(-1)
+    t_pix = ((xf - f["mx"][root]) * f["ux"][root]
+             + (yf - f["my"][root]) * f["uy"][root])
+    t0 = take(scat_reduce(t_pix, 1e9, "min"))
+    t1 = take(scat_reduce(t_pix, -1e9, "max"))
     sp = jnp.stack([mx + t0 * ux, my + t0 * uy], -1)
     ep = jnp.stack([mx + t1 * ux, my + t1 * uy], -1)
     length = t1 - t0
 
-    # --- 6. validation -------------------------------------------------
+    # --- 7. validation -------------------------------------------------
     straight = lam2 / jnp.maximum(lam1, 1e-9)
     density = n / jnp.maximum(length, 1e-6)
     valid = ((n >= min_support)

@@ -25,9 +25,10 @@ img = seq_l[0]
 th = jnp.float32(20.0)
 CAP, EDGE = 527, 19
 
-# XLA reference
+# XLA reference (subpix offsets from the same thresholded score surface)
 score = fast_ops.fast_score(img, th)
-uv0, sc0, v0 = fast_ops.select_keypoints(score, CAP, edge=EDGE, cell=4)
+uv0, sc0, v0 = fast_ops.select_keypoints(score, CAP, edge=EDGE, cell=4,
+                                         offset_src=score)
 uv0, sc0, v0 = np.asarray(uv0), np.asarray(sc0), np.asarray(v0)
 
 # fused kernel
@@ -37,8 +38,9 @@ uv1, sc1, v1 = jax.jit(
 uv1, sc1, v1 = np.asarray(uv1), np.asarray(sc1), np.asarray(v1)
 
 n0, n1 = v0.sum(), v1.sum()
-set0 = {tuple(p) for p in uv0[v0].astype(int)}
-set1 = {tuple(p) for p in uv1[v1].astype(int)}
+# compare integer anchors (round undoes the +-0.5 sub-pixel refinement)
+set0 = {tuple(p) for p in np.round(uv0[v0]).astype(int)}
+set1 = {tuple(p) for p in np.round(uv1[v1]).astype(int)}
 inter = len(set0 & set1)
 print(f"XLA: {n0} kp, Pallas: {n1} kp, common: {inter} "
       f"({inter / max(n0, 1):.3f} of XLA)")
@@ -48,6 +50,17 @@ print("only XLA:", miss)
 print("only Pallas:", extra)
 sd = np.abs(np.sort(sc0[v0])[::-1][:n1] - np.sort(sc1[v1])[::-1][:n1])
 print("score diff (sorted, max):", sd.max() if sd.size else 0)
+# fractional agreement at common anchors (kernel quantizes to 1/31 and
+# fits the un-thresholded surface; expect < ~0.1 px typical difference)
+m0 = {tuple(p): uv0[v0][i] for i, p in
+      enumerate(np.round(uv0[v0]).astype(int))}
+m1 = {tuple(p): uv1[v1][i] for i, p in
+      enumerate(np.round(uv1[v1]).astype(int))}
+common = set0 & set1
+if common:
+    fd = np.array([np.abs(m0[c] - m1[c]).max() for c in common])
+    print(f"subpix frac diff at common anchors: mean {fd.mean():.4f} "
+          f"max {fd.max():.4f}")
 
 # timing x8
 imgs8 = jnp.broadcast_to(img, (8,) + img.shape)

@@ -62,10 +62,10 @@ def detect_ours(img):
     from stvo_pl_tpu.config import VOConfig
     from stvo_pl_tpu.models import frame as frame_mod
     cfg = VOConfig(orb_nfeatures=N_FEATURES, orb_nlevels=2)
-    uv, desc, level, score, valid = frame_mod.detect_points_multilevel(
+    det = frame_mod.detect_points_multilevel(
         jnp.asarray(img, jnp.float32), jnp.float32(20.0), cfg)
-    v = np.asarray(valid)
-    return np.asarray(uv)[v], np.asarray(desc)[v]
+    v = np.asarray(det.valid)
+    return np.asarray(det.uv)[v], np.asarray(det.desc)[v]
 
 
 def match_ours(d1, d2):
@@ -131,6 +131,16 @@ def detect_lines_ours(img):
     return np.asarray(segs.sp)[v], np.asarray(segs.ep)[v]
 
 
+def detect_lines_edline(img):
+    import jax.numpy as jnp
+    from stvo_pl_tpu.ops import edline
+    segs = edline.detect_edlines(jnp.asarray(img, jnp.float32),
+                                 jnp.float32(0.04 * min(img.shape)),
+                                 capacity=128)
+    v = np.asarray(segs.valid)
+    return np.asarray(segs.sp)[v], np.asarray(segs.ep)[v]
+
+
 def detect_lines_cv2(cv2, img):
     det = cv2.createLineSegmentDetector()
     out = det.detect(img.astype(np.uint8))[0]
@@ -174,7 +184,7 @@ def main():
     results = {"points": {}, "lines": {}}
     for wname in ["rot15", "scale0.8", "persp", "bright"]:
         agg = {"ours": [0, 0], "cv2": [0, 0]}
-        lrep = {"ours": [], "cv2": []}
+        lrep = {"ours": [], "edline": [], "cv2": []}
         for ph in photos:
             Hh = warps(*ph.shape)[wname]
             if wname in PHOTOMETRIC:
@@ -187,6 +197,7 @@ def main():
                 agg[k][0] += nm
                 agg[k][1] += nc
             for k, det in {"ours": detect_lines_ours,
+                           "edline": detect_lines_edline,
                            "cv2": lambda im: detect_lines_cv2(cv2, im)}.items():
                 sp1, ep1 = det(ph)
                 sp2, ep2 = det(img_b)
