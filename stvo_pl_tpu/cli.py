@@ -48,6 +48,10 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--ba-kf-every", type=int, default=0, metavar="N",
                     help="additionally promote every Nth frame to a "
                          "keyframe for the BA back end")
+    ap.add_argument("--ba-anchor-only", action="store_true",
+                    help="restrict BA landmarks to the window's anchor "
+                         "keyframe (legacy builder; default unions tracks "
+                         "across all window keyframes)")
     ap.add_argument("--scene", default=None, metavar="OUT.html",
                     help="write an interactive 3-D scene (trajectory, "
                          "frustums, KF markers, covariance ellipsoid, "
@@ -111,7 +115,8 @@ def main(argv=None):
     if args.ba_window > 0:
         from stvo_pl_tpu.models.backend import WindowedBA
         backend = WindowedBA(cam, cfg, window=args.ba_window,
-                             force_kf_every=args.ba_kf_every)
+                             force_kf_every=args.ba_kf_every,
+                             multi_anchor=not args.ba_anchor_only)
     poses = []
     stats = []
     scene_imgs = {}

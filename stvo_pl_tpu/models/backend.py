@@ -37,12 +37,13 @@ class WindowedBA:
 
     def __init__(self, cam: cam_ops.StereoCamera, cfg: VOConfig,
                  window: int = 4, n_iters: int = 8,
-                 force_kf_every: int = 0):
+                 force_kf_every: int = 0, multi_anchor: bool = True):
         self.cam = cam
         self.cfg = cfg
         self.window = window
         self.n_iters = n_iters
         self.force_kf_every = force_kf_every
+        self.multi_anchor = multi_anchor
         # ring entries: (frame_idx, T_corrected [4,4] np, T_raw, PointSet)
         self._ring: list[tuple[int, np.ndarray, np.ndarray, PointSet]] = []
         # refinement events: (kf_indices, corrections C_k [K,4,4])
@@ -73,7 +74,8 @@ class WindowedBA:
         kfs = [(jnp.asarray(T_in), pts) for _, T_in, _, pts in self._ring]
         win = window_mod.stack_keyframes(kfs)
         Tfw_new, _, costs = window_mod.refine_window(
-            win, self.cam, self.cfg, n_iters=self.n_iters)
+            win, self.cam, self.cfg, n_iters=self.n_iters,
+            multi_anchor=self.multi_anchor)
         Tfw_new = np.asarray(Tfw_new, dtype=np.float64)
         idxs = [i for i, _, _, _ in self._ring]
         # per-KF output correction vs the RAW trajectory
