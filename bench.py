@@ -70,9 +70,12 @@ def main():
     bat_r = [seq_r[:, i] for i in range(seq_r.shape[1])]
     jax.block_until_ready(bat_l)
 
-    # NOTE: per-frame dispatch, not lax.scan over frames — XLA pessimizes
-    # the scanned pipeline ~3x (loop-carried layout constraints); the
-    # ~1 ms dispatch overhead is hidden by async dispatch
+    # NOTE: per-frame dispatch and lax.scan are EQUAL at B=8 (measured
+    # round 3, state-chained: 322 vs 323 fps; the round-2 "scan is 3x
+    # slower" note was a backend-elision measurement artifact — at B=1
+    # vo_scan is actually ~2x FASTER, 3.7 vs 6.8 ms/frame, because it
+    # amortizes the ~1 ms tunnel dispatch gap).  Keep per-frame dispatch
+    # here so per-frame telemetry mirrors the CLI's streaming loop.
     def run_frames(state, lo, hi):
         telem_list = []
         for i in range(lo, hi):
