@@ -52,6 +52,11 @@ def build_argparser() -> argparse.ArgumentParser:
                     help="restrict BA landmarks to the window's anchor "
                          "keyframe (legacy builder; default unions tracks "
                          "across all window keyframes)")
+    ap.add_argument("--scene-every", type=int, default=0, metavar="N",
+                    help="with --scene: rewrite the scene file every N "
+                         "frames DURING the run (live view via browser "
+                         "refresh — the headless analogue of the "
+                         "reference's MRPT live scene)")
     ap.add_argument("--scene", default=None, metavar="OUT.html",
                     help="write an interactive 3-D scene (trajectory, "
                          "frustums, KF markers, covariance ellipsoid, "
@@ -158,6 +163,12 @@ def main(argv=None):
         if args.scene and (i == 0 or (bool(t_np.is_kf) and
                                       len(scene_imgs) < 12)):
             scene_imgs[i] = np.asarray(img_l)
+        if (args.scene and args.scene_every > 0 and i > 0
+                and i % args.scene_every == 0):
+            from stvo_pl_tpu.utils.scene_html import write_scene_html
+            write_scene_html(args.scene, np.stack(poses), stats,
+                             images=scene_imgs,
+                             title=f"stvo_pl_tpu (live, frame {i})")
         if not args.quiet:
             print(f"Frame #{i:5d}  err {float(t_np.err_norm):8.5f}  "
                   f"{dt_ms:7.2f} ms  fast_th {float(t_np.fast_th):4.0f}  "

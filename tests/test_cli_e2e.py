@@ -143,3 +143,34 @@ def test_cli_scene_html(dataset_dir, tmp_path):
     data = json.loads(m.group(1))
     assert len(data["pos"]) == N_FRAMES
     assert data["gt"] is not None and len(data["imgs"]) >= 1
+
+
+def test_cli_scene_live_updates(dataset_dir, tmp_path):
+    """--scene-every rewrites the scene DURING the run (the headless
+    analogue of the reference's live MRPT scene): the mid-run file must
+    exist with a partial trajectory before the final write lands."""
+    import json
+    import re
+    from stvo_pl_tpu import cli
+    out = tmp_path / "live.html"
+    # patch write_scene_html to snapshot intermediate trajectory lengths
+    from stvo_pl_tpu.utils import scene_html
+    lengths = []
+    orig = scene_html.write_scene_html
+
+    def spy(path, poses, *a, **kw):
+        lengths.append(len(poses))
+        return orig(path, poses, *a, **kw)
+
+    scene_html.write_scene_html = spy
+    try:
+        cli.main([str(dataset_dir), "-c", str(dataset_dir / "cfg.yaml"),
+                  "--quiet", "--scene", str(out), "--scene-every", "2"])
+    finally:
+        scene_html.write_scene_html = orig
+    # live rewrites happened with growing partial trajectories, final last
+    assert len(lengths) >= 2, lengths
+    assert lengths[:-1] == sorted(lengths[:-1]) and lengths[0] < N_FRAMES
+    assert lengths[-1] == N_FRAMES
+    m = re.search(r"const D = (\{.*?\});\n", out.read_text(), re.S)
+    assert len(json.loads(m.group(1))["pos"]) == N_FRAMES
