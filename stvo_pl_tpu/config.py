@@ -99,7 +99,14 @@ class VOConfig:
     # ---- LSD-equivalent line detector ---------------------------------
     lsd_nfeatures: int = 300
     lsd_refine: int = 0
-    lsd_scale: float = 1.2
+    # lsd_scale is HONORED (cv::LSD semantics: detect on a resampled image,
+    # map endpoints back — models/frame.py detect_lines_scaled) but defaults
+    # to 1.0 here, diverging from the reference's 1.2: upsampled detection
+    # exists in cv to recover sub-pixel geometry, which this detector gets
+    # natively from its least-squares refinement; measured with 1.2 active
+    # the TPU bench LOSES both speed and accuracy (293.7 fps / ATE 0.0429
+    # vs 313-317 / 0.0371 — BASELINE.md round-3 log).
+    lsd_scale: float = 1.0
     lsd_sigma_scale: float = 0.6
     lsd_quant: float = 2.0
     lsd_ang_th: float = 22.5         # gradient angle tolerance [deg]
@@ -192,12 +199,11 @@ def _warn_inert_keys(cfg: VOConfig) -> None:
     """Warn when a reference knob is parsed but cannot take effect here
     (documented in PARITY.md; silent acceptance would be dishonest)."""
     import warnings
-    if cfg.orb_wta_k != 2:
-        warnings.warn(
-            f"orb_wta_k={cfg.orb_wta_k} is inert: descriptors here are "
-            "256 2-point binary tests (WTA_K=2 semantics); 3/4-way tests "
-            "with HAMMING2 distance are not implemented (see PARITY.md)",
-            stacklevel=3)
+    if cfg.orb_wta_k not in (2, 3, 4):
+        raise ValueError(
+            f"orb_wta_k={cfg.orb_wta_k}: cv::ORB supports WTA_K of 2 "
+            "(256 binary tests, HAMMING) or 3/4 (128 2-bit argmax cells, "
+            "HAMMING2) — see ops/orb.py describe/describe_wta")
     if cfg.orb_patch_size > 33:
         warnings.warn(
             f"orb_patch_size={cfg.orb_patch_size} exceeds the gathered "

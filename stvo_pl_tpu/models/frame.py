@@ -29,7 +29,8 @@ from stvo_pl_tpu.config import VOConfig
 from stvo_pl_tpu.ops import camera as cam_ops
 from stvo_pl_tpu.ops import fast as fast_ops
 from stvo_pl_tpu.ops import hamming, lbd, lsd, matching, orb, subpix
-from stvo_pl_tpu.ops.image import gaussian_blur, pyramid_levels, sobel
+from stvo_pl_tpu.ops.image import (gaussian_blur, pyramid_levels,
+                                   resize_bilinear, sobel)
 from stvo_pl_tpu.models.features import (LineSet, PointSet, empty_lines,
                                          empty_points)
 
@@ -96,7 +97,13 @@ def detect_points_multilevel(img: jnp.ndarray, fast_th: jnp.ndarray,
         blur = gaussian_blur(cur, 2.0, radius=3)
         p = orb.gather_patches(blur, uv)
         c, s = orb.orientation(p)
-        desc = orb.describe(p, c, s, patch_size=cfg.orb_patch_size)
+        if cfg.orb_wta_k == 2:
+            desc = orb.describe(p, c, s, patch_size=cfg.orb_patch_size)
+        else:
+            # WTA_K=3/4: 2-bit argmax cells, HAMMING2 distances
+            # (cv::ORB + BFMatcher(NORM_HAMMING2), src/stereoFrame.cpp:112-115)
+            desc = orb.describe_wta(p, c, s, cfg.orb_wta_k,
+                                    patch_size=cfg.orb_patch_size)
         scale = cfg.orb_scale_factor ** lv
         # integer gather centers (gather_patches clamping semantics)
         Hl, Wl = cur.shape
@@ -136,7 +143,8 @@ def match_stereo_points(det_l: DetectedPoints, det_r: DetectedPoints,
     inv_w = cfg.grid_cols / float(cam.width)
     inv_h = cfg.grid_rows / float(cam.height)
 
-    dist = hamming.hamming_matrix(desc_l, desc_r, cfg.hamming_use_mxu)
+    dist = hamming.distance_matrix(desc_l, desc_r, cfg.hamming_use_mxu,
+                                   wta_k=cfg.orb_wta_k)
     cand = matching.stereo_point_window_mask(uv_l, uv_r, inv_w, inv_h,
                                              cfg.matching_s_ws)
     cand = cand & valid_l[:, None] & valid_r[None, :]
@@ -264,6 +272,49 @@ def match_stereo_lines(lines_l: lsd.LineSegments, desc_l,
         sigma2=jnp.ones(sp_l.shape[0], dtype), valid=ok)
 
 
+def detect_lines_scaled(im: jnp.ndarray, min_line_length,
+                        cfg: VOConfig) -> lsd.LineSegments:
+    """Dense LSD detection honoring lsd_scale / lsd_sigma_scale.
+
+    cv::LSD detects on a Gaussian-smoothed image resampled by `scale` and
+    divides the found coordinates back (opts.scale/sigma_scale flow from
+    src/stereoFrame.cpp:222-223 into cv::createLineSegmentDetector; the
+    reference default scale=1.2 UPSAMPLES detection for sub-pixel segment
+    geometry, sigma = sigma_scale for upsampling, sigma_scale/scale for
+    downsampling).  Same semantics here, with the pre-blur composed into
+    the resize matmul (ops/image.resize_bilinear) and the exact per-axis
+    half-pixel-center inverse map instead of cv's plain division (rounded
+    output sizes make each axis' effective scale differ slightly from
+    cfg.lsd_scale).
+    """
+    scale = float(cfg.lsd_scale)
+    det_im, mll = im, min_line_length
+    if scale != 1.0:
+        H0, W0 = im.shape
+        sigma = (cfg.lsd_sigma_scale / scale if scale < 1.0
+                 else cfg.lsd_sigma_scale)
+        det_im = resize_bilinear(im, int(round(H0 * scale)),
+                                 int(round(W0 * scale)), blur_sigma=sigma)
+        mll = min_line_length * scale
+    segs = lsd.detect_line_segments(
+        det_im, mll, capacity=cfg.line_capacity,
+        n_dirs=cfg.lsd_n_dirs, ang_th_deg=cfg.lsd_ang_th,
+        quant=cfg.lsd_quant, density_th=cfg.lsd_density_th,
+        refine=not cfg.use_fld_lines,
+        # NFA validation only in advanced-refinement mode, like
+        # cv::LSD (log_eps ignored otherwise — src/config.cpp:105)
+        log_eps=(cfg.lsd_log_eps if cfg.lsd_refine >= 2 else -1.0))
+    if scale != 1.0:
+        H0, W0 = im.shape
+        Hs, Ws = det_im.shape
+        inv = jnp.asarray([W0 / Ws, H0 / Hs], segs.sp.dtype)
+        lim = jnp.asarray([W0 - 1.0, H0 - 1.0], segs.sp.dtype)
+        to_src = lambda p: jnp.clip((p + 0.5) * inv - 0.5, 0.0, lim)
+        segs = segs._replace(sp=to_src(segs.sp), ep=to_src(segs.ep),
+                             length=segs.length / scale)
+    return segs
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "cam"))
 def extract_stereo_features(img_l: jnp.ndarray, img_r: jnp.ndarray,
                             fast_th: jnp.ndarray, min_line_length: jnp.ndarray,
@@ -292,15 +343,7 @@ def extract_stereo_features(img_l: jnp.ndarray, img_r: jnp.ndarray,
                     density_th=cfg.edline_density_th,
                     split_rounds=cfg.edline_split_rounds)
             else:
-                segs = lsd.detect_line_segments(
-                    im, min_line_length, capacity=cfg.line_capacity,
-                    n_dirs=cfg.lsd_n_dirs, ang_th_deg=cfg.lsd_ang_th,
-                    quant=cfg.lsd_quant, density_th=cfg.lsd_density_th,
-                    refine=not cfg.use_fld_lines,
-                    # NFA validation only in advanced-refinement mode, like
-                    # cv::LSD (log_eps ignored otherwise — src/config.cpp:105)
-                    log_eps=(cfg.lsd_log_eps if cfg.lsd_refine >= 2
-                             else -1.0))
+                segs = detect_lines_scaled(im, min_line_length, cfg)
             gx, gy = sobel(im)
             _, desc_b = lbd.compute_lbd(gx, gy, segs.sp, segs.ep)
             return segs, desc_b

@@ -97,7 +97,8 @@ def match_f2f_points(prev: PointSet, curr: PointSet, cfg: VOConfig,
     between the previous and current stereo point sets.  With
     matching_strategy == 1 (reference src/config.cpp:90-92) candidates are
     additionally constrained to a +/- matching_f2f_ws grid-cell window."""
-    dist = hamming.hamming_matrix(prev.desc, curr.desc, cfg.hamming_use_mxu)
+    dist = hamming.distance_matrix(prev.desc, curr.desc, cfg.hamming_use_mxu,
+                                   wta_k=cfg.orb_wta_k)
     cand = prev.valid[:, None] & curr.valid[None, :]
     if cfg.matching_strategy == 1 and cam is not None:
         inv_w = cfg.grid_cols / float(cam.width)

@@ -111,3 +111,66 @@ def hamming_matrix(desc1: jnp.ndarray, desc2: jnp.ndarray,
     if use_mxu:
         return hamming_matrix_mxu(desc1, desc2)
     return hamming_matrix_xla(desc1, desc2)
+
+
+# ---------------------------------------------------------------------------
+# HAMMING2: distances over 2-bit cells (cv::NORM_HAMMING2), used with
+# WTA_K = 3/4 descriptors (cv::ORB semantics at src/stereoFrame.cpp:112-115:
+# BFMatcher(NORM_HAMMING2) when orb_wta_k != 2).  The 256-bit descriptor is
+# read as 128 2-bit cells; distance = number of cells that differ.
+# ---------------------------------------------------------------------------
+
+N_CELLS = DESC_BITS // 2   # 128 two-bit cells
+
+
+def unpack_cells_onehot(desc: jnp.ndarray,
+                        dtype=jnp.bfloat16) -> jnp.ndarray:
+    """[N, 8] uint32 -> [N, 128*4] one-hot encoding of the 2-bit cells.
+
+    With exactly one unit per cell, <a, b> counts agreeing cells, so the
+    HAMMING2 distance rides the MXU exactly like the WTA_K=2 path
+    (integer-valued dot products, f32 accumulation)."""
+    shifts = jnp.arange(16, dtype=jnp.uint32) * 2
+    cells = (desc[..., :, None] >> shifts[None, :]) & jnp.uint32(3)
+    cells = cells.reshape(desc.shape[:-1] + (N_CELLS,))
+    onehot = (cells[..., None] == jnp.arange(4, dtype=jnp.uint32))
+    return onehot.astype(dtype).reshape(desc.shape[:-1] + (N_CELLS * 4,))
+
+
+def hamming2_matrix_mxu(desc1: jnp.ndarray, desc2: jnp.ndarray) -> jnp.ndarray:
+    """[N, 8] x [M, 8] uint32 -> [N, M] int32 HAMMING2 distances via MXU."""
+    a = unpack_cells_onehot(desc1)
+    b = unpack_cells_onehot(desc2)
+    agree = jax.lax.dot_general(
+        a, b, (((a.ndim - 1,), (b.ndim - 1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    return (N_CELLS - agree).astype(jnp.int32)
+
+
+def hamming2_matrix_xla(desc1: jnp.ndarray, desc2: jnp.ndarray) -> jnp.ndarray:
+    """XOR + cell-collapse popcount (a cell differs iff either of its two
+    bits differs: y = (x | x>>1) & 0x5555...), same bit-hack family as
+    cv::normHamming(..., 2)."""
+    total = jnp.zeros((desc1.shape[0], desc2.shape[0]), jnp.int32)
+    for w in range(DESC_WORDS):
+        x = desc1[:, None, w] ^ desc2[None, :, w]
+        y = (x | (x >> 1)) & jnp.uint32(0x55555555)
+        total = total + _popcount_u32(y)
+    return total
+
+
+def hamming2_matrix(desc1: jnp.ndarray, desc2: jnp.ndarray,
+                    use_mxu: bool = True) -> jnp.ndarray:
+    if use_mxu:
+        return hamming2_matrix_mxu(desc1, desc2)
+    return hamming2_matrix_xla(desc1, desc2)
+
+
+def distance_matrix(desc1: jnp.ndarray, desc2: jnp.ndarray,
+                    use_mxu: bool = True, wta_k: int = 2) -> jnp.ndarray:
+    """Descriptor distance dispatch: HAMMING for WTA_K=2 bit descriptors,
+    HAMMING2 for WTA_K=3/4 2-bit-cell descriptors (cv::BFMatcher norm
+    selection, src/stereoFrame.cpp:112-115)."""
+    if wta_k == 2:
+        return hamming_matrix(desc1, desc2, use_mxu)
+    return hamming2_matrix(desc1, desc2, use_mxu)

@@ -173,6 +173,79 @@ def describe(patches: jnp.ndarray, cos_t: jnp.ndarray,
     return jnp.sum(words << shifts[None, None, :], axis=-1, dtype=jnp.uint32)
 
 
+# ---------------------------------------------------------------------------
+# WTA_K = 3/4 descriptors (cv::ORB semantics, src/stereoFrame.cpp:112-115):
+# each of 128 cells takes wta_k sample points and stores the 2-bit argmax;
+# distances use NORM_HAMMING2 (ops/hamming.py).  Packed into the same
+# [K, 8] uint32 container (32 bytes) as the WTA_K=2 descriptor.
+# ---------------------------------------------------------------------------
+
+N_CELLS = 128
+
+
+@functools.lru_cache(maxsize=8)
+def _make_wta_pattern(patch_size: int, wta_k: int,
+                      seed: int = 8861) -> np.ndarray:
+    """[128, wta_k, 2] float32 sample tuples (same seeded-Gaussian family
+    and rotation-safe clipping as the 2-point pattern)."""
+    rng = np.random.default_rng(seed + wta_k)
+    sigma = patch_size / 5.0
+    pattern_r = min(PATTERN_R, patch_size / 2.0 - 2.0)
+    pts = rng.normal(0.0, sigma, size=(N_CELLS, wta_k, 2))
+    r = np.linalg.norm(pts, axis=-1, keepdims=True)
+    scale = np.minimum(1.0, pattern_r / np.maximum(r, 1e-9))
+    return (pts * scale).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=8)
+def _binned_sample_matrix(patch_size: int, wta_k: int) -> np.ndarray:
+    """[P*P, N_ORI_BINS * 128 * wta_k] one-hot sampling matrix: column
+    (b, c, t) selects the rotated position of tuple point t of cell c under
+    orientation bin b, so one bf16 matmul gathers every sample of every
+    cell (the WTA analogue of the +/-1 difference matrix above)."""
+    S = np.zeros((PATCH * PATCH, N_ORI_BINS * N_CELLS * wta_k), np.float32)
+    pattern = _make_wta_pattern(patch_size, wta_k)     # [128, wta_k, 2]
+    px = pattern[..., 0]
+    py = pattern[..., 1]
+    for b in range(N_ORI_BINS):
+        th = 2.0 * np.pi * b / N_ORI_BINS
+        c, s = np.cos(th), np.sin(th)
+        rx = np.clip(np.round(c * px - s * py + PATCH_R), 0, PATCH - 1)
+        ry = np.clip(np.round(s * px + c * py + PATCH_R), 0, PATCH - 1)
+        idx = (ry * PATCH + rx).astype(np.int32)       # [128, wta_k]
+        cols = (b * N_CELLS * wta_k
+                + np.arange(N_CELLS)[:, None] * wta_k
+                + np.arange(wta_k)[None, :])
+        np.add.at(S, (idx, cols), 1.0)
+    return S
+
+
+def describe_wta(patches: jnp.ndarray, cos_t: jnp.ndarray,
+                 sin_t: jnp.ndarray, wta_k: int,
+                 patch_size: int = 31) -> jnp.ndarray:
+    """WTA_K=3/4 descriptors: [K, P, P] patches -> [K, 8] uint32 of 128
+    2-bit argmax cells.  Ties resolve to the lowest tuple index (cv::ORB's
+    comparison cascade also prefers earlier points on exact ties)."""
+    assert wta_k in (3, 4), wta_k
+    angle = jnp.arctan2(sin_t, cos_t)
+    bin_idx = jnp.mod(jnp.round(angle * (N_ORI_BINS / (2.0 * jnp.pi))),
+                      N_ORI_BINS).astype(jnp.int32)
+    flat = patches.reshape(patches.shape[0], -1)
+    S = jnp.asarray(_binned_sample_matrix(patch_size, wta_k), jnp.bfloat16)
+    samples = jax.lax.dot_general(
+        flat.astype(jnp.bfloat16), S, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)            # [K, 30*128*wta_k]
+    onehot = (jnp.arange(N_ORI_BINS, dtype=jnp.int32)[None, :]
+              == bin_idx[:, None]).astype(samples.dtype)
+    mine = jnp.einsum("kb,kbc->kc", onehot,
+                      samples.reshape(-1, N_ORI_BINS, N_CELLS * wta_k))
+    vals = mine.reshape(-1, N_CELLS, wta_k)
+    cell = jnp.argmax(vals, axis=-1).astype(jnp.uint32)   # [K, 128] in 0..3
+    words = cell.reshape(-1, 8, 16)
+    shifts = (jnp.arange(16, dtype=jnp.uint32) * 2)
+    return jnp.sum(words << shifts[None, None, :], axis=-1, dtype=jnp.uint32)
+
+
 @functools.partial(jax.jit, static_argnames=("patch_size",))
 def orient_and_describe(img: jnp.ndarray, img_blur: jnp.ndarray,
                         uv: jnp.ndarray, patch_size: int = 31):

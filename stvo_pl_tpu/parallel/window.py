@@ -63,8 +63,9 @@ def build_problem(win: KeyframeWindow, cam: cam_ops.StereoCamera,
 
     def obs_in_kf(k):
         pts_k = jax.tree_util.tree_map(lambda x: x[k], win.points)
-        dist = hamming.hamming_matrix(anchor.desc, pts_k.desc,
-                                      cfg.hamming_use_mxu)
+        dist = hamming.distance_matrix(anchor.desc, pts_k.desc,
+                                       cfg.hamming_use_mxu,
+                                       wta_k=cfg.orb_wta_k)
         cand = anchor.valid[:, None] & pts_k.valid[None, :]
         res = matching.nnr_mutual_match(dist, cand, cfg.min_ratio_12_p,
                                         mutual=cfg.best_lr_matches)
@@ -107,8 +108,9 @@ def build_problem_tracks(win: KeyframeWindow, cam: cam_ops.StereoCamera,
     match_idx = {}
     for a in range(K):
         for b in range(a + 1, K):
-            dist = hamming.hamming_matrix(pts.desc[a], pts.desc[b],
-                                          cfg.hamming_use_mxu)
+            dist = hamming.distance_matrix(pts.desc[a], pts.desc[b],
+                                           cfg.hamming_use_mxu,
+                                           wta_k=cfg.orb_wta_k)
             cand = valid[a][:, None] & valid[b][None, :]
             res = matching.nnr_mutual_match(dist, cand, cfg.min_ratio_12_p,
                                             mutual=cfg.best_lr_matches)

@@ -50,6 +50,27 @@ def test_welsch_kernel():
     assert ate < 0.1, ate
 
 
+def test_wta3_descriptor_mode():
+    """orb_wta_k=3: 2-bit argmax cells + HAMMING2 matching end to end
+    (cv::ORB WTA_K semantics, reference src/stereoFrame.cpp:112-115)."""
+    ate, telem = run(BASE.replace(orb_wta_k=3, has_lines=False))
+    assert ate < 0.12, ate
+    assert int(np.asarray(telem.n_points)[1:].min()) > 8
+
+
+def test_wta4_descriptor_mode():
+    ate, _ = run(BASE.replace(orb_wta_k=4, has_lines=False))
+    assert ate < 0.12, ate
+
+
+def test_lsd_scale_upsampled_mode():
+    """lsd_scale=1.2 (cv::LSD resampled detection, the reference default)
+    must track end to end with endpoints mapped back to source coords."""
+    ate, telem = run(BASE.replace(lsd_scale=1.2))
+    assert ate < 0.15, ate
+    assert int(np.asarray(telem.n_lines)[1:].sum()) > 0
+
+
 def test_preset_files_load_and_run():
     presets = sorted(glob.glob("configs/config_*.yaml"))
     assert len(presets) >= 5

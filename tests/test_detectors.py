@@ -178,6 +178,50 @@ def test_lsd_nfa_validation():
     assert n_gated <= 2, f"NFA gate kept {n_gated} noise detections"
 
 
+def test_lsd_scale_maps_back_to_source_frame():
+    """lsd_scale != 1 must detect on the resampled image and report
+    endpoints/lengths in SOURCE pixel coordinates (cv::LSD rescales its
+    output; opts.scale flows from reference src/stereoFrame.cpp:222).
+    Covers up- and down-sampling plus the non-integer 1.2 default."""
+    from stvo_pl_tpu.config import VOConfig
+    from stvo_pl_tpu.models.frame import detect_lines_scaled
+
+    segs = [(20, 20, 120, 30), (30, 100, 140, 60), (80, 10, 85, 110)]
+    img = jnp.asarray(line_image(segs))
+    H, W = img.shape
+    for scale in (0.8, 1.2, 2.0):
+        cfg = VOConfig(lsd_nfeatures=16, lsd_n_dirs=12, lsd_scale=scale)
+        out = detect_lines_scaled(img, 25.0, cfg)
+        v = np.asarray(out.valid)
+        sp = np.asarray(out.sp)[v]
+        ep = np.asarray(out.ep)[v]
+        ln = np.asarray(out.length)[v]
+        assert v.sum() >= len(segs), (scale, v.sum())
+        assert (sp >= -0.5).all() and (ep >= -0.5).all()
+        assert (sp[:, 0] <= W - 1).all() and (sp[:, 1] <= H - 1).all()
+        # Each planted segment must have a detection lying ON it in the
+        # SOURCE frame: angle within 8 deg, midpoint within 4 px of the
+        # infinite line, length 0.4-1.3x the planted length.  (Detections
+        # at higher scales may fragment; unrescaled coordinates/lengths
+        # would blow every one of these gates.)
+        for (x1, y1, x2, y2) in segs:
+            d = np.array([x2 - x1, y2 - y1], np.float64)
+            L = np.hypot(*d)
+            n = np.array([-d[1], d[0]]) / L
+            found = False
+            for s, e, l in zip(sp, ep, ln):
+                mid = 0.5 * (s + e)
+                ang_det = np.degrees(np.arctan2(*(e - s)[::-1])) % 180.0
+                ang_true = np.degrees(np.arctan2(d[1], d[0])) % 180.0
+                dang = min(abs(ang_det - ang_true),
+                           180.0 - abs(ang_det - ang_true))
+                off = abs(np.dot(mid - np.array([x1, y1]), n))
+                if dang < 8.0 and off < 4.0 and 0.4 * L < l < 1.3 * L:
+                    found = True
+                    break
+            assert found, (scale, (x1, y1, x2, y2))
+
+
 def test_harris_scoring_path(rng):
     """orb_score=0 (HARRIS_SCORE, src/config.cpp:100): detection stays
     FAST, ranking swaps to the Harris response."""
@@ -232,11 +276,98 @@ def test_patch_size_changes_descriptor(rng):
 def test_inert_key_warnings():
     import warnings
     from stvo_pl_tpu.config import config_from_mapping
-    with warnings.catch_warnings(record=True) as w:
-        warnings.simplefilter("always")
-        config_from_mapping({"orb_wta_k": 4})
-        assert any("orb_wta_k" in str(x.message) for x in w)
+    # orb_wta_k 3/4 are real modes since round 3; out-of-range rejects
+    with pytest.raises(ValueError):
+        config_from_mapping({"orb_wta_k": 5})
+    assert config_from_mapping({"orb_wta_k": 4}).orb_wta_k == 4
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
         config_from_mapping({"orb_patch_size": 63})
         assert any("orb_patch_size" in str(x.message) for x in w)
+
+
+def _wta_naive(patch, pattern, wta_k):
+    """Scalar-gather oracle for one unrotated patch: 2-bit argmax cells."""
+    vals = np.zeros((pattern.shape[0], wta_k))
+    for c in range(pattern.shape[0]):
+        for t in range(wta_k):
+            x = int(np.clip(round(pattern[c, t, 0] + orb_ops.PATCH_R),
+                            0, orb_ops.PATCH - 1))
+            y = int(np.clip(round(pattern[c, t, 1] + orb_ops.PATCH_R),
+                            0, orb_ops.PATCH - 1))
+            vals[c, t] = patch[y, x]
+    return np.argmax(vals, axis=1)
+
+
+def test_wta_descriptor_matches_naive_oracle(rng):
+    """describe_wta's matmul sampling + packing equals per-cell scalar
+    gathers at orientation 0 (bin 0)."""
+    for wta_k in (3, 4):
+        patch = rng.uniform(0, 255, (1, orb_ops.PATCH, orb_ops.PATCH)
+                            ).astype(np.float32)
+        desc = np.asarray(orb_ops.describe_wta(
+            jnp.asarray(patch), jnp.ones((1,)), jnp.zeros((1,)), wta_k))
+        # unpack 2-bit cells
+        cells = []
+        for w in range(8):
+            for s in range(16):
+                cells.append((int(desc[0, w]) >> (2 * s)) & 3)
+        cells = np.array(cells)
+        expect = _wta_naive(patch[0], orb_ops._make_wta_pattern(31, wta_k),
+                            wta_k)
+        agree = (cells == expect).mean()
+        # bf16 sampling can flip near-tie cells; require near-exact
+        assert agree > 0.95, (wta_k, agree)
+
+
+def test_hamming2_mxu_equals_xla(rng):
+    from stvo_pl_tpu.ops import hamming
+    d1 = jnp.asarray(rng.integers(0, 2 ** 32, (64, 8), dtype=np.uint32))
+    d2 = jnp.asarray(rng.integers(0, 2 ** 32, (48, 8), dtype=np.uint32))
+    a = np.asarray(hamming.hamming2_matrix_mxu(d1, d2))
+    b = np.asarray(hamming.hamming2_matrix_xla(d1, d2))
+    assert np.array_equal(a, b)
+    # identical descriptors -> distance 0; all-cells-differ -> 128
+    assert np.asarray(hamming.hamming2_matrix_xla(d1, d1)).diagonal().max() == 0
+    x = jnp.zeros((1, 8), jnp.uint32)
+    y = jnp.full((1, 8), 0x55555555, jnp.uint32)
+    assert int(hamming.hamming2_matrix_xla(x, y)[0, 0]) == 128
+
+
+def test_wta_descriptor_rotation_stability():
+    """WTA_K=3 descriptors must match across an in-plane rotation (the
+    binned rotated sampling matrix does its job like the WTA_K=2 path)."""
+    rng = np.random.default_rng(5)
+    img, _ = corner_image(rng, n=35)
+    from stvo_pl_tpu.ops import hamming
+    from stvo_pl_tpu.ops.image import gaussian_blur
+    import scipy.ndimage as ndi
+    deg = 20.0
+    rot = ndi.rotate(img, deg, reshape=False, order=1, mode="nearest")
+    im0, im1 = jnp.asarray(img), jnp.asarray(rot.astype(np.float32))
+    H, W = img.shape
+    c = np.array([(W - 1) / 2.0, (H - 1) / 2.0])
+    th = np.radians(deg)
+    R = np.array([[np.cos(th), np.sin(th)], [-np.sin(th), np.cos(th)]])
+
+    score = fast_ops.fast_score(im0, jnp.float32(20.0))
+    uv0, _, v0 = fast_ops.select_keypoints(score, capacity=80, edge=20)
+    uv0n = np.asarray(uv0)
+    # ndi.rotate maps output coords by R^-1 about the center; keypoint in
+    # the rotated image sits at R @ (p - c) + c
+    uv1n = (uv0n - c) @ R.T + c
+    keep = (np.asarray(v0) & (uv1n[:, 0] > 20) & (uv1n[:, 0] < W - 20)
+            & (uv1n[:, 1] > 20) & (uv1n[:, 1] < H - 20))
+    b0 = gaussian_blur(im0, 2.0, radius=3)
+    b1 = gaussian_blur(im1, 2.0, radius=3)
+    p0 = orb_ops.gather_patches(b0, jnp.asarray(uv0n))
+    p1 = orb_ops.gather_patches(b1, jnp.asarray(uv1n.astype(np.float32)))
+    c0, s0 = orb_ops.orientation(p0)
+    c1, s1 = orb_ops.orientation(p1)
+    d0 = orb_ops.describe_wta(p0, c0, s0, 3)
+    d1 = orb_ops.describe_wta(p1, c1, s1, 3)
+    dist = np.asarray(hamming.hamming2_matrix_xla(d0, d1))
+    self_d = dist.diagonal()[keep]
+    rand_d = dist[keep][:, ~keep].mean() if (~keep).any() else 64.0
+    # same physical corner must be far closer than random pairs
+    assert self_d.mean() < 0.6 * rand_d, (self_d.mean(), rand_d)
