@@ -122,7 +122,7 @@ def detect_edlines(img: jnp.ndarray, min_length: jnp.ndarray,
                    relabel_rounds: int = 8,
                    hyst_ratio: float = 1.0,
                    smooth_sigma: float = 1.0,
-                   node_capacity: int = 32768) -> LineSegments:
+                   node_capacity: int = 16384) -> LineSegments:
     """Detect line segments; returns fixed-capacity LineSegments.
 
     grad_th/anchor_th follow EDLine's gradiantThreshold/anchorThreshold
@@ -178,10 +178,16 @@ def detect_edlines(img: jnp.ndarray, min_length: jnp.ndarray,
     edge = edge & (yy0 > 1) & (yy0 < H - 2) & (xx0 > 1) & (xx0 < W - 2)
 
     # --- 3. compact edge pixels to a fixed-capacity node list ----------
+    # priority = gradient magnitude: when the image has more edge pixels
+    # than node_capacity, the WEAKEST edges drop (graceful), not the
+    # bottom image rows (the old flat-index priority).  Under budget all
+    # edge pixels are kept either way.  Labels are min-FLAT-INDEX values,
+    # so slot order is free.
     flat = (yy0 * W + xx0).astype(jnp.int32)
     edge_f = edge.reshape(-1)
-    prio = jnp.where(edge_f, P - flat.reshape(-1), 0)
-    _, node_flat = jax.lax.top_k(prio, M)         # edge pixels, flat asc
+    mag_flat = mag.reshape(-1)
+    prio = jnp.where(edge_f, mag_flat, 0.0)
+    _, node_flat = jax.lax.top_k(prio, M)
     node_flat = node_flat.astype(jnp.int32)
     node_valid = edge_f[node_flat]
     inv = jnp.zeros((P,), jnp.int32).at[node_flat].set(
@@ -203,10 +209,15 @@ def detect_edlines(img: jnp.ndarray, min_length: jnp.ndarray,
         qy = ny + dy
         inb = (qx >= 0) & (qx < W) & (qy >= 0) & (qy < H)
         q = jnp.clip(qy * W + qx, 0, P - 1)
-        q_edge = edge_f[q] & inb & node_valid
+        # membership test: an edge pixel DROPPED by the capacity budget
+        # has inv[q] == 0 (the init value), which would silently alias it
+        # to slot 0 — require the round-trip node_flat[inv[q]] == q
+        slot_q = inv[q]
+        q_edge = (edge_f[q] & inb & node_valid
+                  & (node_flat[slot_q] == q))
         th_q = theta_f[q]
         g = q_edge & (_ang_diff_mod_pi(th_node, th_q) < tol)
-        nbr_slots.append(jnp.where(q_edge, inv[q], M))
+        nbr_slots.append(jnp.where(q_edge, slot_q, M))
         base_gates.append(g)
     nbr_slot = jnp.stack(nbr_slots, axis=-1)       # [M, 8]
     gate0 = jnp.stack(base_gates, axis=-1)         # [M, 8]
