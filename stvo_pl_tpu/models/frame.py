@@ -96,12 +96,14 @@ def detect_points_multilevel(img: jnp.ndarray, fast_th: jnp.ndarray,
             score_type=cfg.orb_score, subpix=cfg.subpix_points)
         blur = gaussian_blur(cur, 2.0, radius=3)
         p = orb.gather_patches(blur, uv)
-        c, s = orb.orientation(p)
         if cfg.orb_wta_k == 2:
-            desc = orb.describe(p, c, s, patch_size=cfg.orb_patch_size)
+            # fused int8 MXU path: one matmul yields orientation moments
+            # AND the 30-bin rBRIEF test bank (ops/orb.py orient_describe)
+            desc, _, _ = orb.orient_describe(p, patch_size=cfg.orb_patch_size)
         else:
             # WTA_K=3/4: 2-bit argmax cells, HAMMING2 distances
             # (cv::ORB + BFMatcher(NORM_HAMMING2), src/stereoFrame.cpp:112-115)
+            c, s = orb.orientation(p)
             desc = orb.describe_wta(p, c, s, cfg.orb_wta_k,
                                     patch_size=cfg.orb_patch_size)
         scale = cfg.orb_scale_factor ** lv

