@@ -47,6 +47,20 @@ def main():
     cam = cam_ops.StereoCamera(fx=718.856, fy=718.856, cx=613.0, cy=185.0,
                                b=0.5372, width=1226, height=370)
     cfg = VOConfig()  # reference defaults: 1200 ORB x 4 levels, 300 lines
+    cfg_label = "reference defaults (1200 ORB x4 levels + 300 lines)"
+    # A/B variants for perf work (driver runs the default: no env set)
+    variant = os.environ.get("STVO_BENCH_VARIANT", "")
+    if variant == "edline2":
+        cfg = cfg.replace(use_edlines=True, edline_scale=2)
+        cfg_label += " + edline quality detector at scale 2"
+    elif variant == "edline":
+        cfg = cfg.replace(use_edlines=True)
+        cfg_label += " + edline quality detector"
+    elif variant == "octaves2":
+        cfg = cfg.replace(lsd_octaves=2)
+        cfg_label += " + 2-octave LSD"
+    elif variant:
+        raise SystemExit(f"unknown STVO_BENCH_VARIANT={variant}")
 
     # every lane gets a DISTINCT random scene (no broadcast-identical
     # batch: per-lane compute cannot alias and per-lane ATE is a real
@@ -124,7 +138,7 @@ def main():
         "good_frac": round(good_frac, 3),
         "pass_fps": [round(f, 1) for f in pass_fps],
         "backend": jax.default_backend(),
-        "config": "reference defaults (1200 ORB x4 levels + 300 lines)",
+        "config": cfg_label,
     }))
 
 

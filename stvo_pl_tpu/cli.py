@@ -48,6 +48,9 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--ba-kf-every", type=int, default=0, metavar="N",
                     help="additionally promote every Nth frame to a "
                          "keyframe for the BA back end")
+    ap.add_argument("--ba-no-lines", action="store_true",
+                    help="exclude line-endpoint landmarks from the windowed "
+                         "BA (A/B; default refines points AND lines)")
     ap.add_argument("--ba-anchor-only", action="store_true",
                     help="restrict BA landmarks to the window's anchor "
                          "keyframe (legacy builder; default unions tracks "
@@ -122,7 +125,8 @@ def main(argv=None):
         from stvo_pl_tpu.models.backend import WindowedBA
         backend = WindowedBA(cam, cfg, window=args.ba_window,
                              force_kf_every=args.ba_kf_every,
-                             multi_anchor=not args.ba_anchor_only)
+                             multi_anchor=not args.ba_anchor_only,
+                             use_lines=not args.ba_no_lines)
     poses = []
     stats = []
     scene_imgs = {}
@@ -142,7 +146,7 @@ def main(argv=None):
     last_done = [time.perf_counter()]
 
     def _consume(entry):
-        i, telem, prev_points, img_l, t0 = entry
+        i, telem, prev_points, prev_lines, img_l, t0 = entry
         t_np = jax.device_get(telem)     # sync point (one transfer)
         Tfw = np.asarray(t_np.Tfw)
         # per-frame THROUGHPUT (completion interval) — with the pipelined
@@ -153,7 +157,7 @@ def main(argv=None):
         poses.append(Tfw)
         if backend is not None:
             done = backend.observe(i, Tfw, i > 0 and bool(t_np.is_kf),
-                                   prev_points)
+                                   prev_points, prev_lines)
             if done is not None and not args.quiet:
                 print(f"[stvo] BA refined keyframes {done[0]}")
         stats.append(dict(err=float(t_np.err_norm), ms=dt_ms,
@@ -196,7 +200,8 @@ def main(argv=None):
             cur = None
         if in_flight is not None:
             _consume(in_flight)
-        in_flight = (i, telem, state.prev_points, img_l, t0)
+        in_flight = (i, telem, state.prev_points, state.prev_lines,
+                     img_l, t0)
     if in_flight is not None:
         _consume(in_flight)
 

@@ -83,6 +83,11 @@ class VOConfig:
 
     # ---- matching windows ---------------------------------------------
     matching_strategy: int = 0
+    # feature count at/above which the brute-force matchers auto-switch to
+    # the model-axis-sharded TP path when the step runs on a mesh with a
+    # model axis (parallel/tp.py tp_match_inner).  4096 ~ where the O(N*M)
+    # distance matrix outweighs the duplicated per-device front end.
+    tp_min_features: int = 4096
     matching_s_ws: int = 10          # stereo search window [grid cells]
     matching_f2f_ws: int = 3         # f2f search window [grid cells]
 
@@ -108,6 +113,14 @@ class VOConfig:
     # vs 313-317 / 0.0371 — BASELINE.md round-3 log).
     lsd_scale: float = 1.0
     lsd_sigma_scale: float = 0.6
+    # multi-octave detection (LSDDetectorC::detect numOctaves,
+    # 3rdparty/.../LSDDetector_custom.cpp:56-73,259-308): Gaussian pyramid
+    # with ratio 2, per-octave detect + per-octave LBD gradients, endpoints
+    # rescaled to octave 0.  The reference StVO always calls octaves=1
+    # (src/stereoFrame.cpp:230); >1 exposes the vendored library's full
+    # surface and detects long off-bin lines the full-res dense detector
+    # fragments (EVAL.md §2).
+    lsd_octaves: int = 1
     lsd_quant: float = 2.0
     lsd_ang_th: float = 22.5         # gradient angle tolerance [deg]
     lsd_log_eps: float = 1.0
@@ -133,6 +146,15 @@ class VOConfig:
     edline_straight_tol: float = 0.1 # max minor/major eigenvalue ratio
     edline_density_th: float = 0.4   # min support pixels per unit length
     edline_split_rounds: int = 2     # curvature-break splitting depth
+    # detection-resolution divisor: 2 runs the whole EDLine graph on an
+    # antialiased half-resolution image (endpoints mapped back by the
+    # exact half-pixel-center map; min_support/min_length rescaled; the
+    # sigma-1 pre-smooth is skipped — the AA resize already low-passes).
+    # Measured round 4 (EVAL.md §2): at scale 2 repeatability still beats
+    # cv2 LSD on all four warps while the node graph shrinks ~4x — the
+    # whole labeling cost rides the scalar unit, so this is the knob that
+    # makes the quality detector affordable in the batched step.
+    edline_scale: int = 1
 
     # ---- TPU-native additions -----------------------------------------
     # spatial grid (reference GRID_ROWS/GRID_COLS, include/stereoFrame.h:51-52)
@@ -209,6 +231,13 @@ def _warn_inert_keys(cfg: VOConfig) -> None:
             f"orb_patch_size={cfg.orb_patch_size} exceeds the gathered "
             "33x33 patch; test points are clipped to a 13 px radius "
             "(see ops/orb.py:_make_pattern)", stacklevel=3)
+    if cfg.lsd_n_bins != 1024:
+        warnings.warn(
+            f"lsd_n_bins={cfg.lsd_n_bins} is parsed for config parity but "
+            "has no analogue here: cv::LSD uses n_bins to pseudo-order its "
+            "sequential region-growing seeds, and the dense detector has "
+            "no seed ordering (all runs are found in parallel; see "
+            "PARITY.md)", stacklevel=3)
 
 
 def load_config(path: str | None, base: VOConfig | None = None) -> VOConfig:

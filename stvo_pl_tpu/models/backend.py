@@ -37,24 +37,30 @@ class WindowedBA:
 
     def __init__(self, cam: cam_ops.StereoCamera, cfg: VOConfig,
                  window: int = 4, n_iters: int = 8,
-                 force_kf_every: int = 0, multi_anchor: bool = True):
+                 force_kf_every: int = 0, multi_anchor: bool = True,
+                 use_lines: bool = True):
         self.cam = cam
         self.cfg = cfg
         self.window = window
         self.n_iters = n_iters
         self.force_kf_every = force_kf_every
         self.multi_anchor = multi_anchor
-        # ring entries: (frame_idx, T_corrected [4,4] np, T_raw, PointSet)
-        self._ring: list[tuple[int, np.ndarray, np.ndarray, PointSet]] = []
+        self.use_lines = use_lines
+        # ring entries: (frame_idx, T_corrected [4,4] np, T_raw, PointSet,
+        #                LineSet | None)
+        self._ring: list[tuple] = []
         # refinement events: (kf_indices, corrections C_k [K,4,4])
         self.events: list[tuple[list[int], np.ndarray]] = []
         self._frames_since_kf = 0
         self._n_frames = 0
         self._C = np.eye(4)     # cumulative correction for incoming poses
 
-    def observe(self, frame_idx: int, Tfw, is_kf, points: PointSet):
+    def observe(self, frame_idx: int, Tfw, is_kf, points: PointSet,
+                lines=None):
         """Feed one frame's outcome; returns (kf_indices, refined_poses)
-        when a window was just refined, else None."""
+        when a window was just refined, else None.  Pass the frame's
+        LineSet to include line-endpoint landmarks in the refinement
+        (use_lines=False drops them for A/B comparison)."""
         self._n_frames = max(self._n_frames, frame_idx + 1)
         take = frame_idx == 0 or bool(is_kf)
         if self.force_kf_every > 0:
@@ -65,27 +71,31 @@ class WindowedBA:
         T_raw = np.asarray(Tfw, dtype=np.float64)
         T_in = self._C @ T_raw
         snap = jax.tree_util.tree_map(jnp.asarray, points)
-        self._ring.append((frame_idx, T_in, T_raw, snap))
+        lsnap = None
+        if self.use_lines and lines is not None:
+            lsnap = jax.tree_util.tree_map(jnp.asarray, lines)
+        self._ring.append((frame_idx, T_in, T_raw, snap, lsnap))
         if len(self._ring) == self.window:
             return self._refine()
         return None
 
     def _refine(self):
-        kfs = [(jnp.asarray(T_in), pts) for _, T_in, _, pts in self._ring]
+        kfs = [(jnp.asarray(T_in), pts, ls)
+               for _, T_in, _, pts, ls in self._ring]
         win = window_mod.stack_keyframes(kfs)
         Tfw_new, _, costs = window_mod.refine_window(
             win, self.cam, self.cfg, n_iters=self.n_iters,
             multi_anchor=self.multi_anchor)
         Tfw_new = np.asarray(Tfw_new, dtype=np.float64)
-        idxs = [i for i, _, _, _ in self._ring]
+        idxs = [i for i, *_ in self._ring]
         # per-KF output correction vs the RAW trajectory
         C = np.stack([Tfw_new[k] @ np.linalg.inv(self._ring[k][2])
                       for k in range(len(idxs))])
         self.events.append((idxs, C))
         # chain: refined last KF anchors the next window
-        last_idx, _, last_raw, last_pts = self._ring[-1]
+        last_idx, _, last_raw, last_pts, last_ls = self._ring[-1]
         self._C = Tfw_new[-1] @ np.linalg.inv(last_raw)
-        self._ring = [(last_idx, Tfw_new[-1], last_raw, last_pts)]
+        self._ring = [(last_idx, Tfw_new[-1], last_raw, last_pts, last_ls)]
         return idxs, Tfw_new
 
     def apply(self, poses: np.ndarray) -> np.ndarray:

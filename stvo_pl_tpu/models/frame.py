@@ -97,14 +97,18 @@ def detect_points_multilevel(img: jnp.ndarray, fast_th: jnp.ndarray,
         blur = gaussian_blur(cur, 2.0, radius=3)
         p = orb.gather_patches(blur, uv)
         if cfg.orb_wta_k == 2:
-            # fused int8 MXU path: one matmul yields orientation moments
-            # AND the 30-bin rBRIEF test bank (ops/orb.py orient_describe)
+            # quantized bf16 MXU path: patches snapped to the uint8 grid
+            # for deterministic BRIEF bits, then one matmul per level for
+            # the 30-bin rBRIEF test bank (ops/orb.py orient_describe)
             desc, _, _ = orb.orient_describe(p, patch_size=cfg.orb_patch_size)
         else:
             # WTA_K=3/4: 2-bit argmax cells, HAMMING2 distances
-            # (cv::ORB + BFMatcher(NORM_HAMMING2), src/stereoFrame.cpp:112-115)
-            c, s = orb.orientation(p)
-            desc = orb.describe_wta(p, c, s, cfg.orb_wta_k,
+            # (cv::ORB + BFMatcher(NORM_HAMMING2), src/stereoFrame.cpp:112-115);
+            # same uint8-grid snap as orient_describe — near-tie argmax
+            # cells flip on sub-LSB resampling noise just like sign bits
+            q = jnp.clip(jnp.round(p), 0.0, 255.0)
+            c, s = orb.orientation(q)
+            desc = orb.describe_wta(q, c, s, cfg.orb_wta_k,
                                     patch_size=cfg.orb_patch_size)
         scale = cfg.orb_scale_factor ** lv
         # integer gather centers (gather_patches clamping semantics)
@@ -131,7 +135,8 @@ def detect_points_multilevel(img: jnp.ndarray, fast_th: jnp.ndarray,
 
 
 def match_stereo_points(det_l: DetectedPoints, det_r: DetectedPoints,
-                        cam: cam_ops.StereoCamera, cfg: VOConfig) -> PointSet:
+                        cam: cam_ops.StereoCamera, cfg: VOConfig,
+                        tp=None) -> PointSet:
     """Grid-windowed stereo matching + epipolar/disparity filters +
     back-projection (matchStereoPoints, src/stereoFrame.cpp:120-173).
 
@@ -145,13 +150,11 @@ def match_stereo_points(det_l: DetectedPoints, det_r: DetectedPoints,
     inv_w = cfg.grid_cols / float(cam.width)
     inv_h = cfg.grid_rows / float(cam.height)
 
-    dist = hamming.distance_matrix(desc_l, desc_r, cfg.hamming_use_mxu,
-                                   wta_k=cfg.orb_wta_k)
     cand = matching.stereo_point_window_mask(uv_l, uv_r, inv_w, inv_h,
                                              cfg.matching_s_ws)
     cand = cand & valid_l[:, None] & valid_r[None, :]
-    res = matching.nnr_mutual_match(dist, cand, cfg.min_ratio_12_p,
-                                    mutual=cfg.best_lr_matches)
+    res = matching.match_auto(desc_l, desc_r, cand, cfg.min_ratio_12_p,
+                              cfg, tp=tp, wta_k=cfg.orb_wta_k)
 
     j = jnp.maximum(res.idx, 0)
     uv_rm = uv_r[j]
@@ -207,7 +210,8 @@ def _overlap_stereo(sy_l, ey_l, sy_r, ey_r, horiz_th: float):
 
 def match_stereo_lines(lines_l: lsd.LineSegments, desc_l,
                        lines_r: lsd.LineSegments, desc_r,
-                       cam: cam_ops.StereoCamera, cfg: VOConfig) -> LineSet:
+                       cam: cam_ops.StereoCamera, cfg: VOConfig,
+                       level_l=None, tp=None) -> LineSet:
     """Stereo line matching: direction + grid proximity candidates, NNR +
     mutual, endpoint-disparity by line intersection, overlap and disparity
     consistency filters, endpoint back-projection
@@ -216,7 +220,6 @@ def match_stereo_lines(lines_l: lsd.LineSegments, desc_l,
     inv_h = cfg.grid_rows / float(cam.height)
     dtype = lines_l.sp.dtype
 
-    dist = hamming.hamming_matrix(desc_l, desc_r, cfg.hamming_use_mxu)
     cand = matching.stereo_line_window_mask(
         lines_l.sp, lines_l.ep, lines_r.sp, lines_r.ep, inv_w, inv_h,
         cfg.matching_s_ws)
@@ -226,8 +229,8 @@ def match_stereo_lines(lines_l: lsd.LineSegments, desc_l,
     u_r = d_r / jnp.maximum(jnp.linalg.norm(d_r, axis=-1, keepdims=True), 1e-6)
     cand = cand & matching.line_direction_mask(u_l, u_r, cfg.line_sim_th)
     cand = cand & lines_l.valid[:, None] & lines_r.valid[None, :]
-    res = matching.nnr_mutual_match(dist, cand, cfg.min_ratio_12_p,
-                                    mutual=cfg.best_lr_matches)
+    res = matching.match_auto(desc_l, desc_r, cand, cfg.min_ratio_12_p,
+                              cfg, tp=tp)
 
     j = jnp.maximum(res.idx, 0)
     sp_r = lines_r.sp[j]
@@ -264,14 +267,21 @@ def match_stereo_lines(lines_l: lsd.LineSegments, desc_l,
     sP = cam_ops.back_project(cam, sp_l, ds)
     eP = cam_ops.back_project(cam, ep_l, de)
     le = _line_coeffs(sp_l, ep_l)
-    # single-octave line detection => level 0, sigma2 = 1
-    # (src/stereoFeatures.cpp:107-115 with lsd level 0)
+    # per-octave inverse variance sigma2 = lsd_scale^(-2*level)
+    # (src/stereoFeatures.cpp:107-115 — a reference quirk: the formula uses
+    # Config::lsdScale, NOT the pyramid ratio 2 the octaves were built
+    # with; kept verbatim for parity, so the default lsd_scale = 1.0
+    # weighs every octave equally).  Single-octave detection => level 0.
+    if level_l is None:
+        level_l = jnp.zeros(sp_l.shape[0], jnp.int32)
+    sigma2 = jnp.asarray(float(cfg.lsd_scale), dtype) ** (
+        -2.0 * level_l.astype(dtype))
     return LineSet(
         spl=sp_l, epl=ep_l,
         sdisp=jnp.where(ok, disp_s, 0.0), edisp=jnp.where(ok, disp_e, 0.0),
         sP=sP, eP=eP, le=le, angle=lines_l.angle,
-        desc=desc_l, level=jnp.zeros(sp_l.shape[0], jnp.int32),
-        sigma2=jnp.ones(sp_l.shape[0], dtype), valid=ok)
+        desc=desc_l, level=level_l,
+        sigma2=sigma2, valid=ok)
 
 
 def detect_lines_scaled(im: jnp.ndarray, min_line_length,
@@ -317,17 +327,86 @@ def detect_lines_scaled(im: jnp.ndarray, min_line_length,
     return segs
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "cam"))
+def detect_lines_octaves(im: jnp.ndarray, min_line_length, cfg: VOConfig):
+    """Multi-octave line detection + per-octave LBD.
+
+    Rebuilds the vendored library's full multi-octave surface
+    (LSDDetectorC::detect with numOctaves > 1: Gaussian pyramid with ratio
+    2 via pyrDown, LSDDetector_custom.cpp:56-73; per-octave detection with
+    the min-length threshold applied IN OCTAVE COORDS and endpoints
+    rescaled to octave 0, :259-308) and LBD consuming each octave's own
+    Sobel gradients (binary_descriptor_custom.cpp:689-1024).  The
+    reference defers cross-octave de-duplication to OctaveKeyLines inside
+    the LBD stage; the dense analogue here is one pairwise duplicate
+    suppression over the union (longer level-0 extent wins).
+
+    Returns (LineSegments in octave-0 coords, octave [K] int32,
+    lbd descriptors [K, 8] uint32), K = line_capacity.
+    """
+    H0, W0 = im.shape
+    cap = cfg.line_capacity
+    dtype = im.dtype
+    parts = []
+    cur = im
+    for o in range(max(1, cfg.lsd_octaves)):
+        if o > 0:
+            H, W = cur.shape
+            if min(H, W) < 64:
+                break
+            # pyrDown equivalent: antialiasing blur composed into the
+            # resize matmul (ops/image.resize_bilinear)
+            cur = resize_bilinear(cur, H // 2, W // 2, blur_sigma=1.0)
+        segs = detect_lines_scaled(cur, min_line_length, cfg)
+        gx, gy = sobel(cur)
+        _, desc = lbd.compute_lbd(gx, gy, segs.sp, segs.ep)
+        # exact half-pixel-center map to octave-0 coords (the reference
+        # multiplies by scale^octave; integer halving makes the effective
+        # per-axis factor differ slightly from 2^o)
+        Ho, Wo = cur.shape
+        inv = jnp.asarray([W0 / Wo, H0 / Ho], segs.sp.dtype)
+        lim = jnp.asarray([W0 - 1.0, H0 - 1.0], segs.sp.dtype)
+        to0 = lambda p: jnp.clip((p + 0.5) * inv - 0.5, 0.0, lim)
+        sp0, ep0 = to0(segs.sp), to0(segs.ep)
+        len0 = jnp.linalg.norm(ep0 - sp0, axis=-1)
+        parts.append((sp0, ep0, jnp.where(segs.valid, len0, 0.0),
+                      segs.valid, jnp.full((cap,), o, jnp.int32), desc))
+
+    sp = jnp.concatenate([p[0] for p in parts])
+    ep = jnp.concatenate([p[1] for p in parts])
+    length = jnp.concatenate([p[2] for p in parts])
+    valid = jnp.concatenate([p[3] for p in parts])
+    octv = jnp.concatenate([p[4] for p in parts])
+    desc = jnp.concatenate([p[5] for p in parts])
+
+    if len(parts) > 1:
+        # the same physical line detected at 2+ octaves: keep the longer
+        # level-0 extent (ties to the finer octave via index order)
+        valid = lsd._suppress_duplicates(sp, ep, length, valid,
+                                         perp_tol=3.0, overlap_tol=0.5)
+    resp = jnp.where(valid, length, 0.0)
+    top, pos = jax.lax.top_k(resp, cap)
+    take = lambda a: jnp.take(a, pos, axis=0)
+    sp, ep, length, octv, desc = (take(sp), take(ep), take(length),
+                                  take(octv), take(desc))
+    dvec = ep - sp
+    segs_out = lsd.LineSegments(
+        sp=sp, ep=ep,
+        angle=jnp.arctan2(dvec[:, 1], dvec[:, 0]),
+        length=length, resp=top, valid=top > 0)
+    return segs_out, octv, desc
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "cam", "tp"))
 def extract_stereo_features(img_l: jnp.ndarray, img_r: jnp.ndarray,
                             fast_th: jnp.ndarray, min_line_length: jnp.ndarray,
                             cam: cam_ops.StereoCamera,
-                            cfg: VOConfig) -> FrameFeatures:
+                            cfg: VOConfig, tp=None) -> FrameFeatures:
     """Full per-frame front end (extractStereoFeatures,
     src/stereoFrame.cpp:59-75): points and lines, L and R, one XLA program."""
     if cfg.has_points:
         det_l = detect_points_multilevel(img_l, fast_th, cfg)
         det_r = detect_points_multilevel(img_r, fast_th, cfg)
-        points = match_stereo_points(det_l, det_r, cam, cfg)
+        points = match_stereo_points(det_l, det_r, cam, cfg, tp=tp)
     else:
         points = empty_points(cfg.point_capacity)
 
@@ -335,26 +414,56 @@ def extract_stereo_features(img_l: jnp.ndarray, img_r: jnp.ndarray,
         def detect_one(im):
             if cfg.use_edlines:
                 from stvo_pl_tpu.ops.edline import detect_edlines
+                f = max(1, int(cfg.edline_scale))
+                H0, W0 = im.shape
+                det_im = im
+                if f > 1:
+                    # AA half-res detection: the resize low-passes, so the
+                    # in-kernel sigma-1 pre-smooth is skipped; support and
+                    # length thresholds move to detection coords; the node
+                    # budget shrinks with the pixel count (~7% edge area)
+                    det_im = resize_bilinear(im, H0 // f, W0 // f,
+                                             blur_sigma=1.0)
+                Hd, Wd = det_im.shape
+                node_cap = min(16384, max(2048, (Hd * Wd) // 14))
                 segs = detect_edlines(
-                    im, min_line_length, capacity=cfg.line_capacity,
+                    det_im, min_line_length / f,
+                    capacity=cfg.line_capacity,
                     grad_th=cfg.edline_grad_th,
                     anchor_th=cfg.edline_anchor_th,
                     ang_tol_deg=cfg.edline_ang_tol,
-                    min_support=cfg.edline_min_support,
+                    min_support=max(4, cfg.edline_min_support // f),
                     straight_tol=cfg.edline_straight_tol,
                     density_th=cfg.edline_density_th,
-                    split_rounds=cfg.edline_split_rounds)
+                    split_rounds=cfg.edline_split_rounds,
+                    smooth_sigma=0.0 if f > 1 else 1.0,
+                    node_capacity=node_cap)
+                if f > 1:
+                    inv = jnp.asarray([W0 / Wd, H0 / Hd], segs.sp.dtype)
+                    lim = jnp.asarray([W0 - 1.0, H0 - 1.0], segs.sp.dtype)
+                    to0 = lambda p: jnp.clip((p + 0.5) * inv - 0.5, 0.0, lim)
+                    sp0, ep0 = to0(segs.sp), to0(segs.ep)
+                    d0 = ep0 - sp0
+                    segs = segs._replace(
+                        sp=sp0, ep=ep0,
+                        angle=jnp.arctan2(d0[:, 1], d0[:, 0]),
+                        length=jnp.linalg.norm(d0, axis=-1))
+            elif cfg.lsd_octaves > 1:
+                segs, octv, desc_b = detect_lines_octaves(
+                    im, min_line_length, cfg)
+                return segs, desc_b, octv
             else:
                 segs = detect_lines_scaled(im, min_line_length, cfg)
             gx, gy = sobel(im)
             _, desc_b = lbd.compute_lbd(gx, gy, segs.sp, segs.ep)
-            return segs, desc_b
+            return segs, desc_b, jnp.zeros((segs.sp.shape[0],), jnp.int32)
         # L and R stay separate subgraphs (NOT a vmapped eye axis): XLA
         # overlaps the two independent chains; folding them into batch-8
         # launches measured 253 -> 203 fps
-        segs_l, ldesc_l = detect_one(img_l)
-        segs_r, ldesc_r = detect_one(img_r)
-        lines = match_stereo_lines(segs_l, ldesc_l, segs_r, ldesc_r, cam, cfg)
+        segs_l, ldesc_l, octv_l = detect_one(img_l)
+        segs_r, ldesc_r, _ = detect_one(img_r)
+        lines = match_stereo_lines(segs_l, ldesc_l, segs_r, ldesc_r, cam,
+                                   cfg, level_l=octv_l, tp=tp)
     else:
         lines = empty_lines(cfg.line_capacity)
 

@@ -92,21 +92,22 @@ def init_state(cfg: VOConfig, dtype=jnp.float32) -> VOState:
 # ---------------------------------------------------------------------------
 
 def match_f2f_points(prev: PointSet, curr: PointSet, cfg: VOConfig,
-                     cam: cam_ops.StereoCamera | None = None) -> PointMatches:
+                     cam: cam_ops.StereoCamera | None = None,
+                     tp=None) -> PointMatches:
     """matchF2FPoints (:131-153): full descriptor matching (NNR + mutual)
     between the previous and current stereo point sets.  With
     matching_strategy == 1 (reference src/config.cpp:90-92) candidates are
-    additionally constrained to a +/- matching_f2f_ws grid-cell window."""
-    dist = hamming.distance_matrix(prev.desc, curr.desc, cfg.hamming_use_mxu,
-                                   wta_k=cfg.orb_wta_k)
+    additionally constrained to a +/- matching_f2f_ws grid-cell window.
+    tp = (axis, n_shards) auto-switches to the model-axis-sharded matcher
+    at large budgets (ops/matching.match_auto)."""
     cand = prev.valid[:, None] & curr.valid[None, :]
     if cfg.matching_strategy == 1 and cam is not None:
         inv_w = cfg.grid_cols / float(cam.width)
         inv_h = cfg.grid_rows / float(cam.height)
         cand = cand & matching.f2f_point_window_mask(
             prev.uv, curr.uv, inv_w, inv_h, cfg.matching_f2f_ws)
-    res = matching.nnr_mutual_match(dist, cand, cfg.min_ratio_12_p,
-                                    mutual=cfg.best_lr_matches)
+    res = matching.match_auto(prev.desc, curr.desc, cand, cfg.min_ratio_12_p,
+                              cfg, tp=tp, wta_k=cfg.orb_wta_k)
     j = jnp.maximum(res.idx, 0)
     obs = curr.uv[j]
     valid = res.valid & prev.valid
@@ -116,7 +117,8 @@ def match_f2f_points(prev: PointSet, curr: PointSet, cfg: VOConfig,
 
 
 def match_f2f_lines(prev: LineSet, curr: LineSet, cfg: VOConfig,
-                    cam: cam_ops.StereoCamera | None = None) -> LineMatches:
+                    cam: cam_ops.StereoCamera | None = None,
+                    tp=None) -> LineMatches:
     """matchF2FLines (:155-180): descriptor matching; observation is the
     current frame's infinite-line coefficients.
 
@@ -125,7 +127,6 @@ def match_f2f_lines(prev: LineSet, curr: LineSet, cfg: VOConfig,
     to +/- matching_f2f_ws grid cells around the previous midpoint — the
     f2f analogue of matchGrid's locality prior.
     """
-    dist = hamming.hamming_matrix(prev.desc, curr.desc, cfg.hamming_use_mxu)
     cand = prev.valid[:, None] & curr.valid[None, :]
     if cfg.matching_strategy == 1 and cam is not None:
         inv_w = cfg.grid_cols / float(cam.width)
@@ -134,8 +135,8 @@ def match_f2f_lines(prev: LineSet, curr: LineSet, cfg: VOConfig,
         mid_c = 0.5 * (curr.spl + curr.epl)
         cand = cand & matching.f2f_point_window_mask(
             mid_p, mid_c, inv_w, inv_h, cfg.matching_f2f_ws)
-    res = matching.nnr_mutual_match(dist, cand, cfg.min_ratio_12_l,
-                                    mutual=cfg.best_lr_matches)
+    res = matching.match_auto(prev.desc, curr.desc, cand, cfg.min_ratio_12_l,
+                              cfg, tp=tp)
     j = jnp.maximum(res.idx, 0)
     le_obs = curr.le[j]
     valid = res.valid & prev.valid
@@ -216,10 +217,10 @@ def keyframe_update(state: VOState, est: optimizer.PoseEstimate,
 # one full VO step
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("cfg", "cam"))
+@functools.partial(jax.jit, static_argnames=("cfg", "cam", "tp"))
 def vo_step(state: VOState, img_l: jnp.ndarray, img_r: jnp.ndarray,
             cam: cam_ops.StereoCamera,
-            cfg: VOConfig) -> tuple[VOState, StepTelemetry]:
+            cfg: VOConfig, tp=None) -> tuple[VOState, StepTelemetry]:
     """Process one rectified stereo pair: extract, track, optimize, update.
 
     On the first frame (state.initialized == False) this is `initialize`
@@ -230,14 +231,14 @@ def vo_step(state: VOState, img_l: jnp.ndarray, img_r: jnp.ndarray,
         cfg.min_line_length * min(cam.width, cam.height), dtype)
 
     feats = frame_mod.extract_stereo_features(
-        img_l, img_r, state.fast_th, llength_th, cam, cfg)
-    return _track_and_update(state, feats, cam, cfg)
+        img_l, img_r, state.fast_th, llength_th, cam, cfg, tp=tp)
+    return _track_and_update(state, feats, cam, cfg, tp=tp)
 
 
-def _track_and_update(state: VOState, feats, cam, cfg: VOConfig):
+def _track_and_update(state: VOState, feats, cam, cfg: VOConfig, tp=None):
     dtype = state.Tfw.dtype
-    pm = match_f2f_points(state.prev_points, feats.points, cfg, cam)
-    lm = match_f2f_lines(state.prev_lines, feats.lines, cfg, cam)
+    pm = match_f2f_points(state.prev_points, feats.points, cfg, cam, tp=tp)
+    lm = match_f2f_lines(state.prev_lines, feats.lines, cfg, cam, tp=tp)
 
     est, pm, lm = optimizer.optimize_pose(
         pm, lm, cam, cfg, state.DT, state.DT_cov, state.err_norm)
@@ -302,15 +303,15 @@ def vo_step_rgbd(state: VOState, img: jnp.ndarray, depth: jnp.ndarray,
     return _track_and_update(state, feats, cam, cfg)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "cam"))
+@functools.partial(jax.jit, static_argnames=("cfg", "cam", "tp"))
 def vo_scan(state: VOState, imgs_l: jnp.ndarray, imgs_r: jnp.ndarray,
-            cam: cam_ops.StereoCamera, cfg: VOConfig):
+            cam: cam_ops.StereoCamera, cfg: VOConfig, tp=None):
     """Run a whole sequence on device: [T, H, W] stereo stacks -> trajectory.
 
     The reference's while-loop over dataset frames (app/imagesStVO.cpp:88-125)
     becomes one `lax.scan`, keeping HBM-resident state between frames."""
     def step(s, pair):
         il, ir = pair
-        s2, t = vo_step(s, il, ir, cam, cfg)
+        s2, t = vo_step(s, il, ir, cam, cfg, tp=tp)
         return s2, t
     return jax.lax.scan(step, state, (imgs_l, imgs_r))

@@ -101,7 +101,7 @@ def _line_point_jac(P_, lx, ly, fx, homog_th):
     ], axis=-1)
 
 
-def _overlap_general(sp_obs, ep_obs, sp_proj, ep_proj):
+def segment_overlap(sp_obs, ep_obs, sp_proj, ep_proj):
     """Projection overlap of the projected segment onto the observed one
     (lineSegmentOverlap, src/stereoFrame.cpp:510-616 /
     f2fLineSegmentOverlap :182-288), branch-free.
@@ -137,7 +137,7 @@ def _line_terms(DT, lm: LineMatches, cam, homog_th):
     J = (Js * ds[..., None] + Je * de[..., None]) \
         / jnp.maximum(homog_th, err_norm)[..., None]
 
-    overlap = _overlap_general(lm.spl, lm.epl, sp_proj, ep_proj)
+    overlap = segment_overlap(lm.spl, lm.epl, sp_proj, ep_proj)
     active = lm.valid & lm.inlier
     return err_norm, J, overlap, active
 

@@ -33,23 +33,31 @@ import jax
 import jax.numpy as jnp
 
 from stvo_pl_tpu.config import VOConfig
-from stvo_pl_tpu.models.features import PointSet
+from stvo_pl_tpu.models.features import LineSet, PointSet
 from stvo_pl_tpu.ops import camera as cam_ops
 from stvo_pl_tpu.ops import hamming, matching, se3
 from stvo_pl_tpu.parallel import ba
 
 
 class KeyframeWindow(NamedTuple):
-    """Stacked keyframe data ([K, ...] leaves)."""
+    """Stacked keyframe data ([K, ...] leaves).  lines is None when the
+    window carries only point snapshots (points-only config or callers
+    that predate line BA)."""
     Tfw: jnp.ndarray          # [K, 4, 4] camera-to-world
     points: PointSet          # leaves [K, Np, ...]
+    lines: LineSet | None = None  # leaves [K, Nl, ...]
 
 
-def stack_keyframes(kfs: list[tuple[jnp.ndarray, PointSet]]) -> KeyframeWindow:
-    Tfw = jnp.stack([t for t, _ in kfs])
+def stack_keyframes(kfs: list[tuple]) -> KeyframeWindow:
+    """Each entry is (Tfw, PointSet) or (Tfw, PointSet, LineSet)."""
+    Tfw = jnp.stack([e[0] for e in kfs])
     pts = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs),
-                                 *[p for _, p in kfs])
-    return KeyframeWindow(Tfw=Tfw, points=pts)
+                                 *[e[1] for e in kfs])
+    lines = None
+    if len(kfs[0]) > 2 and kfs[0][2] is not None:
+        lines = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs),
+                                       *[e[2] for e in kfs])
+    return KeyframeWindow(Tfw=Tfw, points=pts, lines=lines)
 
 
 def build_problem(win: KeyframeWindow, cam: cam_ops.StereoCamera,
@@ -85,6 +93,45 @@ def build_problem(win: KeyframeWindow, cam: cam_ops.StereoCamera,
     return ba.BAProblem(X=X, obs=obs, mask=mask, sigma2=anchor.sigma2)
 
 
+def _track_labels(dist_fn, valid, K: int, N: int, ratio: float,
+                  cfg: VOConfig, extra_cand=None) -> jnp.ndarray:
+    """Match-graph connected components over a [K, N] feature table.
+
+    Every keyframe pair is mutually matched (dist_fn(a, b) -> [N, N]
+    distances, NNR + mutual), then components are found by dense min-label
+    propagation with pointer jumping (the same log-depth union-find used in
+    ops/edline.py).  Returns flat labels [K*N]: each feature's component
+    root (lowest flat index), K*N for invalid features."""
+    Ntot = K * N
+    BIG = jnp.int32(Ntot)
+    match_idx = {}
+    for a in range(K):
+        for b in range(a + 1, K):
+            cand = valid[a][:, None] & valid[b][None, :]
+            if extra_cand is not None:
+                cand = cand & extra_cand(a, b)
+            res = matching.nnr_mutual_match(dist_fn(a, b), cand, ratio,
+                                            mutual=cfg.best_lr_matches)
+            match_idx[(a, b)] = (jnp.maximum(res.idx, 0), res.valid)
+
+    flat0 = jnp.arange(Ntot, dtype=jnp.int32).reshape(K, N)
+    L = jnp.where(valid, flat0, BIG)
+    n_rounds = 2 + max(1, K.bit_length())
+    for _ in range(n_rounds):
+        for (a, b), (idx, ok) in match_idx.items():
+            la = L[a]
+            lb_at = L[b][idx]
+            la_new = jnp.where(ok, jnp.minimum(la, lb_at), la)
+            lb_new = L[b].at[idx].min(jnp.where(ok, la, BIG))
+            L = L.at[a].set(la_new).at[b].set(lb_new)
+        # pointer jump on the flat label array
+        Lf = L.reshape(-1)
+        Lj = jnp.where(Lf < BIG, Lf, 0)
+        Lf = jnp.where(Lf < BIG, jnp.minimum(Lf, Lf[Lj]), BIG)
+        L = Lf.reshape(K, N)
+    return L.reshape(-1)
+
+
 def build_problem_tracks(win: KeyframeWindow, cam: cam_ops.StereoCamera,
                          cfg: VOConfig,
                          reproj_gate: float = 8.0) -> ba.BAProblem:
@@ -104,36 +151,13 @@ def build_problem_tracks(win: KeyframeWindow, cam: cam_ops.StereoCamera,
     BIG = jnp.int32(Ntot)
 
     valid = pts.valid                                   # [K, Np]
-    # --- pairwise mutual matching over all keyframe pairs -------------
-    match_idx = {}
-    for a in range(K):
-        for b in range(a + 1, K):
-            dist = hamming.distance_matrix(pts.desc[a], pts.desc[b],
-                                           cfg.hamming_use_mxu,
-                                           wta_k=cfg.orb_wta_k)
-            cand = valid[a][:, None] & valid[b][None, :]
-            res = matching.nnr_mutual_match(dist, cand, cfg.min_ratio_12_p,
-                                            mutual=cfg.best_lr_matches)
-            match_idx[(a, b)] = (jnp.maximum(res.idx, 0), res.valid)
 
-    # --- connected components by min-label propagation ----------------
-    flat0 = jnp.arange(Ntot, dtype=jnp.int32).reshape(K, Np)
-    L = jnp.where(valid, flat0, BIG)
-    n_rounds = 2 + max(1, K.bit_length())
-    for _ in range(n_rounds):
-        for (a, b), (idx, ok) in match_idx.items():
-            la = L[a]
-            lb_at = L[b][idx]
-            la_new = jnp.where(ok, jnp.minimum(la, lb_at), la)
-            lb_new = L[b].at[idx].min(jnp.where(ok, la, BIG))
-            L = L.at[a].set(la_new).at[b].set(lb_new)
-        # pointer jump on the flat label array
-        Lf = L.reshape(-1)
-        Lj = jnp.where(Lf < BIG, Lf, 0)
-        Lf = jnp.where(Lf < BIG, jnp.minimum(Lf, Lf[Lj]), BIG)
-        L = Lf.reshape(K, Np)
+    def dist_fn(a, b):
+        return hamming.distance_matrix(pts.desc[a], pts.desc[b],
+                                       cfg.hamming_use_mxu,
+                                       wta_k=cfg.orb_wta_k)
 
-    Lf = L.reshape(-1)
+    Lf = _track_labels(dist_fn, valid, K, Np, cfg.min_ratio_12_p, cfg)
     valid_f = valid.reshape(-1)
     k_of_n = jnp.repeat(jnp.arange(K, dtype=jnp.int32), Np)
 
@@ -169,7 +193,88 @@ def build_problem_tracks(win: KeyframeWindow, cam: cam_ops.StereoCamera,
     mask = mask & live[:, None] & (err < reproj_gate) & (z > 0.1)
 
     sigma2 = jnp.where(live, pts.sigma2.reshape(-1), 1.0)
-    return ba.BAProblem(X=X, obs=obs, mask=mask, sigma2=sigma2)
+    prob = ba.BAProblem(X=X, obs=obs, mask=mask, sigma2=sigma2)
+    if win.lines is not None and cfg.has_lines:
+        prob = prob._replace(**_build_line_tracks(win, cam, cfg,
+                                                  line_gate=reproj_gate))
+    return prob
+
+
+def _build_line_tracks(win: KeyframeWindow, cam: cam_ops.StereoCamera,
+                       cfg: VOConfig, line_gate: float = 8.0) -> dict:
+    """Multi-anchor LINE landmark tracks for the windowed BA.
+
+    Same union-find machinery as the point tracks, on LBD descriptors with
+    the reference's direction-similarity candidate filter (matchGrid lines,
+    src/matching.cpp:221-222).  Each track root contributes a 3-D endpoint
+    pair initialized from its own stereo endpoint disparities
+    (src/stereoFrame.cpp:366-394 semantics); member observations are the
+    member's own infinite-line coefficients + 2-D endpoints (for the
+    overlap weight).  Observations whose initialized endpoints project
+    farther than line_gate px from the observed infinite line are masked.
+    """
+    K = win.Tfw.shape[0]
+    ls = win.lines
+    Nl = ls.spl.shape[1]
+    Ntot = K * Nl
+    BIG = jnp.int32(Ntot)
+
+    valid = ls.valid                                     # [K, Nl]
+    d = ls.epl - ls.spl
+    dirs = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-6)
+
+    def dist_fn(a, b):
+        return hamming.hamming_matrix(ls.desc[a], ls.desc[b],
+                                      cfg.hamming_use_mxu)
+
+    def dir_cand(a, b):
+        cosang = jnp.abs(jnp.einsum("ic,jc->ij", dirs[a], dirs[b]))
+        return cosang > cfg.line_sim_th
+
+    Lf = _track_labels(dist_fn, valid, K, Nl, cfg.min_ratio_12_l, cfg,
+                       extra_cand=dir_cand)
+    valid_f = valid.reshape(-1)
+    k_of_n = jnp.repeat(jnp.arange(K, dtype=jnp.int32), Nl)
+
+    # --- member observations scattered into the track table ------------
+    obs_node = jnp.concatenate([ls.le.reshape(-1, 3),
+                                ls.spl.reshape(-1, 2),
+                                ls.epl.reshape(-1, 2)], axis=-1)  # [Ntot, 7]
+    root_idx = jnp.where(valid_f, Lf, BIG)
+    obs_l = jnp.zeros((Ntot, K, 7), obs_node.dtype) \
+        .at[root_idx, k_of_n].set(obs_node, mode="drop")
+    mask_l = jnp.zeros((Ntot, K), bool) \
+        .at[root_idx, k_of_n].set(True, mode="drop")
+
+    # --- endpoint init from each root's own stereo back-projection -----
+    sdisp = jnp.maximum(ls.sdisp.reshape(-1), 1e-3)
+    edisp = jnp.maximum(ls.edisp.reshape(-1), 1e-3)
+    Ps = cam_ops.back_project(cam, ls.spl.reshape(-1, 2), sdisp)
+    Pe = cam_ops.back_project(cam, ls.epl.reshape(-1, 2), edisp)
+    T_node = win.Tfw[k_of_n]
+    lift = lambda P: (jnp.einsum("nab,nb->na", T_node[:, :3, :3], P)
+                      + T_node[:, :3, 3])
+    Xl_node = jnp.stack([lift(Ps), lift(Pe)], axis=1)    # [Ntot, 2, 3]
+    is_root = (Lf == jnp.arange(Ntot, dtype=jnp.int32)) & valid_f
+    nk = mask_l.sum(axis=-1)
+    live = is_root & (nk >= 2)
+    Xl = jnp.where(live[:, None, None], Xl_node, 0.0)
+
+    # --- endpoint-to-line gate against the initialization --------------
+    poses_cw = se3.inverse_se3(win.Tfw)                  # [K, 4, 4]
+    Pc = jnp.einsum("kab,njb->nkja", poses_cw[:, :3, :3], Xl) \
+        + poses_cw[:, :3, 3][None, :, None]              # [Ntot, K, 2, 3]
+    z = Pc[..., 2]
+    z_safe = jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
+    u = cam.cx + cam.fx * Pc[..., 0] / z_safe
+    v = cam.cy + cam.fy * Pc[..., 1] / z_safe
+    le = obs_l[..., :3]
+    derr = jnp.abs(le[..., 0:1] * u + le[..., 1:2] * v + le[..., 2:3])
+    mask_l = (mask_l & live[:, None] & jnp.all(derr < line_gate, axis=-1)
+              & jnp.all(z > 0.1, axis=-1))
+
+    sigma2_l = jnp.where(live, ls.sigma2.reshape(-1), 1.0)
+    return dict(Xl=Xl, obs_l=obs_l, mask_l=mask_l, sigma2_l=sigma2_l)
 
 
 @functools.partial(jax.jit,
@@ -183,24 +288,33 @@ def refine_window(win: KeyframeWindow, cam: cam_ops.StereoCamera,
     build = build_problem_tracks if multi_anchor else build_problem
     prob = build(win, cam, cfg)
     poses_cw = se3.inverse_se3(win.Tfw)
-    poses_cw, X, costs = ba.ba_solve(poses_cw, prob, cam, n_iters=n_iters)
+    poses_cw, X, _, costs = ba.ba_solve(poses_cw, prob, cam, n_iters=n_iters)
     return se3.inverse_se3(poses_cw), X, costs
 
 
 def make_sharded_window_refiner(mesh, cam: cam_ops.StereoCamera,
                                 cfg: VOConfig, n_iters: int = 6,
-                                multi_anchor: bool = True):
+                                multi_anchor: bool = True,
+                                has_lines: bool = False):
     """Landmark-sharded version: the problem is built locally (matching is
     cheap), then the BA inner loop runs under shard_map with psum-reduced
-    camera systems (parallel.ba.make_sharded_ba)."""
-    solver = ba.make_sharded_ba(mesh, cam, n_iters=n_iters)
+    camera systems (parallel.ba.make_sharded_ba).  has_lines must match
+    whether the windows carry LineSet snapshots (line-endpoint landmarks
+    are sharded over the data axis alongside the points)."""
+    solver = ba.make_sharded_ba(mesh, cam, n_iters=n_iters,
+                                has_lines=has_lines)
     build = build_problem_tracks if multi_anchor else build_problem
 
     def refine(win: KeyframeWindow):
         prob = build(win, cam, cfg)
         poses_cw = se3.inverse_se3(win.Tfw)
-        poses_cw, X, costs = solver(poses_cw, prob.X, prob.obs, prob.mask,
-                                    prob.sigma2)
+        if has_lines:
+            poses_cw, X, _, costs = solver(
+                poses_cw, prob.X, prob.obs, prob.mask, prob.sigma2,
+                prob.Xl, prob.obs_l, prob.mask_l, prob.sigma2_l)
+        else:
+            poses_cw, X, costs = solver(poses_cw, prob.X, prob.obs,
+                                        prob.mask, prob.sigma2)
         return se3.inverse_se3(poses_cw), X, costs
 
     return refine

@@ -72,8 +72,8 @@ def pose_errors(poses_est, poses_true):
 def test_ba_recovers_perturbed_poses(rng):
     poses0, poses_true, prob = synth_problem(rng)
     e0 = pose_errors(np.asarray(poses0), poses_true)
-    poses, X, costs = ba.ba_solve(poses0, prob, CAM, n_iters=10,
-                                  update_landmarks=False)
+    poses, X, _, costs = ba.ba_solve(poses0, prob, CAM, n_iters=10,
+                                     update_landmarks=False)
     e1 = pose_errors(np.asarray(poses), poses_true)
     assert e1.max() < 0.01, (e0, e1)
     assert e1.mean() < e0.mean() * 0.5
@@ -86,8 +86,8 @@ def test_ba_joint_landmark_refinement(rng):
     poses0, poses_true, prob = synth_problem(rng, noise=0.05)
     Xn = prob.X + jnp.asarray(rng.normal(0, 0.3, prob.X.shape)
                               .astype(np.float32))
-    poses, X, costs = ba.ba_solve(poses0, prob._replace(X=Xn), CAM,
-                                  n_iters=12)
+    poses, X, _, costs = ba.ba_solve(poses0, prob._replace(X=Xn), CAM,
+                                     n_iters=12)
     e1 = pose_errors(np.asarray(poses), poses_true)
     assert e1.max() < 0.02, e1
     # landmarks pulled back toward truth
@@ -98,8 +98,8 @@ def test_ba_joint_landmark_refinement(rng):
 
 def test_ba_cost_decreases(rng):
     poses0, poses_true, prob = synth_problem(rng)
-    _, _, costs = ba.ba_solve(poses0, prob, CAM, n_iters=8,
-                              update_landmarks=False)
+    _, _, _, costs = ba.ba_solve(poses0, prob, CAM, n_iters=8,
+                                 update_landmarks=False)
     c = np.asarray(costs)
     assert c[-1] < c[0] * 0.5
 
@@ -113,8 +113,134 @@ def test_ba_sharded_matches_single_device(rng):
     solver = ba.make_sharded_ba(mesh, CAM, n_iters=8)
     poses_s, X_s, costs_s = solver(poses0, prob.X, prob.obs, prob.mask,
                                    prob.sigma2)
-    poses_1, X_1, costs_1 = ba.ba_solve(poses0, prob, CAM, n_iters=8)
+    poses_1, X_1, _, costs_1 = ba.ba_solve(poses0, prob, CAM, n_iters=8)
     np.testing.assert_allclose(np.asarray(poses_s), np.asarray(poses_1),
                                rtol=1e-3, atol=1e-4)
     e1 = pose_errors(np.asarray(poses_s), poses_true)
     assert e1.max() < 0.02
+
+
+# ---------------------------------------------------------------------------
+# line-endpoint landmarks (round 4)
+# ---------------------------------------------------------------------------
+
+def synth_lines(rng, poses_cw_true, Nl=64, noise=0.15):
+    """3-D line segments + per-keyframe infinite-line observations.
+
+    obs_l rows are (a, b, c, sx, sy, ex, ey) with |(a,b)| = 1 and the
+    observed infinite line fit through the NOISY projected endpoints."""
+    K = len(poses_cw_true)
+    mid = rng.uniform([-4, -2.5, 7], [4, 2.5, 18], (Nl, 3))
+    d = rng.normal(0, 1, (Nl, 3))
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    half = rng.uniform(0.8, 2.5, (Nl, 1))
+    Xl = np.stack([mid - half * d, mid + half * d], axis=1).astype(np.float32)
+
+    obs_l = np.zeros((Nl, K, 7), np.float32)
+    mask_l = np.zeros((Nl, K), bool)
+    for k in range(K):
+        R, t = poses_cw_true[k][:3, :3], poses_cw_true[k][:3, 3]
+        Pc = Xl @ R.T + t                        # [Nl, 2, 3]
+        z = Pc[..., 2]
+        u = CAM.fx * Pc[..., 0] / z + CAM.cx + rng.normal(0, noise, (Nl, 2))
+        v = CAM.fy * Pc[..., 1] / z + CAM.cy + rng.normal(0, noise, (Nl, 2))
+        sp = np.stack([u[:, 0], v[:, 0]], -1)
+        ep = np.stack([u[:, 1], v[:, 1]], -1)
+        le = np.cross(np.concatenate([sp, np.ones((Nl, 1))], -1),
+                      np.concatenate([ep, np.ones((Nl, 1))], -1))
+        le /= np.maximum(np.linalg.norm(le[:, :2], axis=-1, keepdims=True),
+                         1e-9)
+        obs_l[:, k, :3] = le
+        obs_l[:, k, 3:5] = sp
+        obs_l[:, k, 5:7] = ep
+        inb = ((z > 1).all(-1) & (u > 0).all(-1) & (u < CAM.width).all(-1)
+               & (v > 0).all(-1) & (v < CAM.height).all(-1))
+        mask_l[:, k] = inb
+    return jnp.asarray(Xl), jnp.asarray(obs_l), jnp.asarray(mask_l)
+
+
+def synth_problem_pl(rng, N=64, Nl=64, K=5, noise=0.3, pose_noise=0.02,
+                     line_noise=0.15):
+    poses0, poses_true, prob = synth_problem(rng, N=N, K=K, noise=noise,
+                                             pose_noise=pose_noise)
+    Xl, obs_l, mask_l = synth_lines(rng, poses_true, Nl=Nl, noise=line_noise)
+    prob = prob._replace(Xl=Xl, obs_l=obs_l, mask_l=mask_l,
+                         sigma2_l=jnp.ones(Xl.shape[0], jnp.float32))
+    return poses0, poses_true, prob
+
+
+def test_ba_lines_zero_residual_at_truth(rng):
+    """With true poses/landmarks and noise-free lines the line cost ~ 0."""
+    poses0, poses_true, prob = synth_problem_pl(rng, N=16, Nl=32,
+                                                noise=0.0, pose_noise=0.0,
+                                                line_noise=0.0)
+    _, _, _, costs = ba.ba_solve(jnp.asarray(poses_true), prob, CAM,
+                                 n_iters=2, update_landmarks=False)
+    assert float(costs[0]) < 1e-4, float(costs[0])
+
+
+def test_ba_pointline_recovers_perturbed_poses(rng):
+    poses0, poses_true, prob = synth_problem_pl(rng)
+    e0 = pose_errors(np.asarray(poses0), poses_true)
+    poses, X, Xl, costs = ba.ba_solve(poses0, prob, CAM, n_iters=10)
+    e1 = pose_errors(np.asarray(poses), poses_true)
+    # joint landmark+pose refinement on only 64 noisy points: the ML
+    # optimum itself scatters ~1 cm (cf. test_ba_joint_landmark_refinement)
+    assert e1.max() < 0.015, (e0, e1)
+    assert e1.mean() < e0.mean() * 0.5
+    c = np.asarray(costs)
+    assert c[-1] < c[0] * 0.5
+
+
+def test_ba_lines_improve_weak_point_problem(rng):
+    """With few, noisy points, adding line landmarks must tighten the
+    refined poses (the round-3 verdict's 'points-only BA' gap)."""
+    poses0, poses_true, prob = synth_problem_pl(rng, N=12, Nl=96,
+                                                noise=1.5, line_noise=0.1)
+    pts_only = prob._replace(Xl=None, obs_l=None, mask_l=None, sigma2_l=None)
+    p_pts, _, _, _ = ba.ba_solve(poses0, pts_only, CAM, n_iters=10,
+                                 update_landmarks=False)
+    p_pl, _, _, _ = ba.ba_solve(poses0, prob, CAM, n_iters=10,
+                                update_landmarks=False)
+    e_pts = pose_errors(np.asarray(p_pts), poses_true)
+    e_pl = pose_errors(np.asarray(p_pl), poses_true)
+    assert e_pl.mean() < e_pts.mean(), (e_pts, e_pl)
+
+
+def test_ba_line_endpoints_pulled_onto_observed_lines(rng):
+    """Perturbed endpoints must move back toward the observed lines (the
+    along-line direction is a gauge freedom and stays put)."""
+    poses0, poses_true, prob = synth_problem_pl(rng, N=32, Nl=48,
+                                               noise=0.1, pose_noise=0.0,
+                                               line_noise=0.0)
+    Xl_n = prob.Xl + jnp.asarray(
+        rng.normal(0, 0.15, prob.Xl.shape).astype(np.float32))
+    _, _, Xl_ref, _ = ba.ba_solve(jnp.asarray(poses_true),
+                                  prob._replace(Xl=Xl_n), CAM, n_iters=10)
+
+    def line_rms(Xl):
+        r, *_ = ba._line_residuals_jacobians(
+            jnp.asarray(poses_true), Xl, prob.obs_l, CAM)
+        r = np.asarray(r)
+        m = np.asarray(prob.mask_l)
+        return np.sqrt((r[m] ** 2).mean())
+
+    assert line_rms(Xl_ref) < line_rms(Xl_n) * 0.2, \
+        (line_rms(Xl_n), line_rms(Xl_ref))
+
+
+def test_ba_sharded_matches_single_device_with_lines(rng):
+    if len(jax.devices()) < 4:
+        import pytest
+        pytest.skip("needs multi-device mesh")
+    poses0, poses_true, prob = synth_problem_pl(rng, N=64, Nl=64)
+    mesh = mesh_mod.make_mesh(n_data=4, devices=jax.devices()[:4])
+    solver = ba.make_sharded_ba(mesh, CAM, n_iters=8, has_lines=True)
+    poses_s, X_s, Xl_s, costs_s = solver(
+        poses0, prob.X, prob.obs, prob.mask, prob.sigma2,
+        prob.Xl, prob.obs_l, prob.mask_l, prob.sigma2_l)
+    poses_1, X_1, Xl_1, costs_1 = ba.ba_solve(poses0, prob, CAM, n_iters=8)
+    np.testing.assert_allclose(np.asarray(poses_s), np.asarray(poses_1),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(Xl_s), np.asarray(Xl_1),
+                               rtol=1e-3, atol=1e-3)

@@ -153,9 +153,11 @@ def test_motion_model_e2e():
     it_off = int(np.asarray(res[False].opt_iters)[2:].sum())
     it_on = int(np.asarray(res[True].opt_iters)[2:].sum())
     # ratio bound: any graph change re-rounds f32, shifts a few matches and
-    # moves total iterations by 1-2 across the window (a +4 absolute bound
-    # tripped on such a re-round at 60 vs 55)
-    assert it_on <= it_off * 1.2 + 2, (it_on, it_off)
+    # moves total iterations by a handful across the window (a +4 absolute
+    # bound tripped on such a re-round at 60 vs 55); 1.1x + 2 keeps that
+    # headroom (62 at it_off=55) while still tripping on a real ~20%
+    # prior regression
+    assert it_on <= it_off * 1.1 + 2, (it_on, it_off)
 
     # corrupted frame mid-sequence with the prior ON
     blank = jnp.full_like(seq_l[0], 50.0)

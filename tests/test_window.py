@@ -36,10 +36,13 @@ def run_vo(n):
 def test_window_refine_improves_perturbed_poses(rng):
     poses, kfs = run_vo(5)
     win = win_mod.stack_keyframes(kfs)
-    # perturb every pose but the first
+    # perturb every pose but the first.  sigma 0.05: the perturbation must
+    # dominate the BA problem's own ML floor (~0.02 aligned-ATE at this
+    # deliberately tiny test camera -- fx=160, 240x180 -- measured round 4;
+    # the sub-pixel front end did not change it)
     Tfw = np.asarray(win.Tfw).copy()
     for k in range(1, len(Tfw)):
-        xi = rng.normal(0, 0.02, 6).astype(np.float32)
+        xi = rng.normal(0, 0.05, 6).astype(np.float32)
         xi[3:] *= 0.3
         Tfw[k] = Tfw[k] @ np.asarray(se3.expmap_se3(jnp.asarray(xi)))
     win_pert = win._replace(Tfw=jnp.asarray(Tfw))
@@ -150,7 +153,7 @@ def test_refine_window_multi_anchor_repairs_perturbation(rng):
     win = win_mod.stack_keyframes(kfs)
     Tfw = np.asarray(win.Tfw).copy()
     for k in range(1, len(Tfw)):
-        xi = rng.normal(0, 0.02, 6).astype(np.float32)
+        xi = rng.normal(0, 0.05, 6).astype(np.float32)
         xi[3:] *= 0.3
         Tfw[k] = Tfw[k] @ np.asarray(se3.expmap_se3(jnp.asarray(xi)))
     win_pert = win._replace(Tfw=jnp.asarray(Tfw))
@@ -160,3 +163,78 @@ def test_refine_window_multi_anchor_repairs_perturbation(rng):
     ate_pert = metrics.ate_rmse(Tfw, gt)
     ate_ref = metrics.ate_rmse(np.asarray(refined), gt)
     assert ate_ref < ate_pert * 0.65, (ate_pert, ate_ref)
+
+
+# ---------------------------------------------------------------------------
+# line landmarks in the window (round 4)
+# ---------------------------------------------------------------------------
+
+CFG_PL = VOConfig(orb_nfeatures=300, orb_nlevels=2, lsd_nfeatures=48,
+                  lsd_n_dirs=8, min_features=8, fast_feat_th=20)
+
+
+def run_vo_pl(n):
+    key = jax.random.PRNGKey(7)
+    scene = synthetic.make_scene(key, n_points=250, n_lines=24,
+                                 extent=(14.0, 8.0, 40.0), z_near=3.0)
+    poses = synthetic.smooth_trajectory(n, speed=0.25)
+    seq_l, seq_r = synthetic.render_sequence(scene, poses, CAM)
+    st = frontend.init_state(CFG_PL)
+    kfs = []
+    for i in range(n):
+        st, t = frontend.vo_step(st, seq_l[i], seq_r[i], CAM, CFG_PL)
+        kfs.append((t.Tfw, st.prev_points, st.prev_lines))
+    return poses, kfs
+
+
+def test_window_line_tracks_built():
+    """A window from a line-bearing run must produce live line landmarks
+    (multi-keyframe LBD tracks) with sane endpoint inits."""
+    poses, kfs = run_vo_pl(4)
+    win = win_mod.stack_keyframes(kfs)
+    assert win.lines is not None
+    prob = win_mod.build_problem_tracks(win, CAM, CFG_PL)
+    assert prob.Xl is not None
+    live = np.asarray(prob.mask_l).any(axis=1)
+    assert live.sum() >= 3, live.sum()
+    nk = np.asarray(prob.mask_l).sum(axis=1)[live]
+    assert (nk >= 2).all()
+    Xl = np.asarray(prob.Xl)[live]
+    assert np.isfinite(Xl).all()
+    # endpoints in front of the cameras and within the scene extent
+    assert (np.linalg.norm(Xl, axis=-1) < 100).all()
+
+
+def test_window_refine_with_lines_repairs_perturbation(rng):
+    poses, kfs = run_vo_pl(5)
+    win = win_mod.stack_keyframes(kfs)
+    Tfw = np.asarray(win.Tfw).copy()
+    for k in range(1, len(Tfw)):
+        xi = rng.normal(0, 0.05, 6).astype(np.float32)
+        xi[3:] *= 0.3
+        Tfw[k] = Tfw[k] @ np.asarray(se3.expmap_se3(jnp.asarray(xi)))
+    win_pert = win._replace(Tfw=jnp.asarray(Tfw))
+    refined, X, costs = win_mod.refine_window(win_pert, CAM, CFG_PL,
+                                              n_iters=8)
+    gt = np.asarray(poses)
+    ate_pert = metrics.ate_rmse(Tfw, gt)
+    ate_ref = metrics.ate_rmse(np.asarray(refined), gt)
+    assert ate_ref < ate_pert * 0.65, (ate_pert, ate_ref)
+    c = np.asarray(costs)
+    assert c[-1] < c[0]
+
+
+def test_window_sharded_with_lines_matches_single():
+    if len(jax.devices()) < 4:
+        import pytest
+        pytest.skip("needs mesh")
+    from stvo_pl_tpu.parallel import mesh as mesh_mod
+    poses, kfs = run_vo_pl(4)
+    win = win_mod.stack_keyframes(kfs)
+    mesh = mesh_mod.make_mesh(n_data=4, devices=jax.devices()[:4])
+    refiner = win_mod.make_sharded_window_refiner(mesh, CAM, CFG_PL,
+                                                  n_iters=5, has_lines=True)
+    r_sharded, _, _ = refiner(win)
+    r_single, _, _ = win_mod.refine_window(win, CAM, CFG_PL, n_iters=5)
+    np.testing.assert_allclose(np.asarray(r_sharded), np.asarray(r_single),
+                               rtol=1e-3, atol=1e-4)

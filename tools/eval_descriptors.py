@@ -141,6 +141,29 @@ def detect_lines_edline(img):
     return np.asarray(segs.sp)[v], np.asarray(segs.ep)[v]
 
 
+def detect_lines_edline2(img):
+    """The edline_scale=2 quality mode (models/frame.py detect_one):
+    AA half-res detection, no in-kernel pre-smooth, thresholds rescaled,
+    endpoints mapped back by the half-pixel-center map."""
+    import jax.numpy as jnp
+    from stvo_pl_tpu.ops import edline
+    from stvo_pl_tpu.ops.image import resize_bilinear
+    im = jnp.asarray(img, jnp.float32)
+    H0, W0 = im.shape
+    det_im = resize_bilinear(im, H0 // 2, W0 // 2, blur_sigma=1.0)
+    Hd, Wd = det_im.shape
+    segs = edline.detect_edlines(
+        det_im, jnp.float32(0.04 * min(img.shape) / 2), capacity=128,
+        min_support=5, smooth_sigma=0.0,
+        node_capacity=min(16384, max(2048, (Hd * Wd) // 14)))
+    inv = jnp.asarray([W0 / Wd, H0 / Hd])
+    to0 = lambda p: jnp.clip((p + 0.5) * inv - 0.5, jnp.zeros(2),
+                             jnp.asarray([W0 - 1.0, H0 - 1.0]))
+    sp, ep = to0(segs.sp), to0(segs.ep)
+    v = np.asarray(segs.valid)
+    return np.asarray(sp)[v], np.asarray(ep)[v]
+
+
 def detect_lines_cv2(cv2, img):
     det = cv2.createLineSegmentDetector()
     out = det.detect(img.astype(np.uint8))[0]
@@ -184,7 +207,7 @@ def main():
     results = {"points": {}, "lines": {}}
     for wname in ["rot15", "scale0.8", "persp", "bright"]:
         agg = {"ours": [0, 0], "cv2": [0, 0]}
-        lrep = {"ours": [], "edline": [], "cv2": []}
+        lrep = {"ours": [], "edline": [], "edline2": [], "cv2": []}
         for ph in photos:
             Hh = warps(*ph.shape)[wname]
             if wname in PHOTOMETRIC:
@@ -198,6 +221,7 @@ def main():
                 agg[k][1] += nc
             for k, det in {"ours": detect_lines_ours,
                            "edline": detect_lines_edline,
+                           "edline2": detect_lines_edline2,
                            "cv2": lambda im: detect_lines_cv2(cv2, im)}.items():
                 sp1, ep1 = det(ph)
                 sp2, ep2 = det(img_b)

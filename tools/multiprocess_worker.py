@@ -96,8 +96,8 @@ def main():
     # single-device solution (local, identical on every process)
     prob = ba.BAProblem(X=jnp.asarray(X), obs=jnp.asarray(obs, jnp.float32),
                         mask=jnp.asarray(mask), sigma2=jnp.asarray(sigma2))
-    p_single, X_single, _ = ba.ba_solve(jnp.asarray(poses0), prob, cam,
-                                        n_iters=5)
+    p_single, X_single, _, _ = ba.ba_solve(jnp.asarray(poses0), prob, cam,
+                                           n_iters=5)
 
     # distributed solution over the global mesh
     solver = ba.make_sharded_ba(mesh, cam, n_iters=5)
@@ -118,9 +118,44 @@ def main():
     e0 = float(np.abs(poses0 - poses_gt).max())
     e1 = float(np.abs(p_dist_local - poses_gt).max())
     assert e1 < 0.5 * e0, (e0, e1)
+    # (c) FULL sharded VO step across the process boundary == the dense
+    # single-process step, bit for bit (VERDICT r3 item 6).  Every process
+    # builds the same seeded image batch; the sharded step runs over the
+    # global 2-process mesh; each process checks its own addressable lanes.
+    from stvo_pl_tpu.config import VOConfig
+    from stvo_pl_tpu.parallel import batched
+
+    cfg = VOConfig(orb_nfeatures=128, orb_nlevels=1, lsd_nfeatures=16,
+                   lsd_n_dirs=4, min_features=8)
+    cam2 = cam_ops.StereoCamera(fx=100.0, fy=100.0, cx=64.0, cy=48.0,
+                                b=0.2, width=128, height=96)
+    rng_i = np.random.default_rng(7)
+    B = n_dev
+    il = rng_i.uniform(0, 255, (B, 96, 128)).astype(np.float32)
+    ir = np.roll(il, -2, axis=2)          # crude stereo shift
+
+    s_ref, t_ref = batched.vo_step_batched(
+        batched.init_batched_state(cfg, B), jnp.asarray(il), jnp.asarray(ir),
+        cam2, cfg)
+    Tfw_ref = np.asarray(t_ref.Tfw)
+
+    step, place = batched.make_sharded_vo_step(mesh, cam2, cfg)
+    s_sh, il_s, ir_s = place(batched.init_batched_state(cfg, B),
+                             jnp.asarray(il), jnp.asarray(ir))
+    s2, t2 = step(s_sh, il_s, ir_s)
+    jax.block_until_ready(s2.Tfw)
+    max_step_err = 0.0
+    for shard in t2.Tfw.addressable_shards:
+        lane = shard.index[0]
+        d = np.abs(np.asarray(shard.data) - Tfw_ref[lane])
+        max_step_err = max(max_step_err, float(d.max()))
+    assert max_step_err == 0.0, \
+        f"cross-process sharded step != dense: {max_step_err}"
+
     if PROC_ID == 0:
         print(f"MULTIPROC_OK devices={n_dev} psum={got} ba_err={err:.2e} "
-              f"pose_err {e0:.4f}->{e1:.4f}", flush=True)
+              f"pose_err {e0:.4f}->{e1:.4f} step_err={max_step_err}",
+              flush=True)
 
 
 if __name__ == "__main__":
