@@ -23,9 +23,16 @@ def main():
     ap.add_argument("out_dir")
     ap.add_argument("--frames", type=int, default=26)
     ap.add_argument("--scene", default="stamps",
-                    choices=["stamps", "textured"])
+                    choices=["stamps", "textured", "corridor",
+                             "adversarial"])
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--speed", type=float, default=0.8)
+    ap.add_argument("--length", type=float, default=0.0,
+                    help="world length in m for the world-based scenes "
+                         "(default: path length + 120 margin — the "
+                         "round-3 1000-frame runs exposed that a camera "
+                         "driving past the default 120 m world free-falls "
+                         "into featureless coasting)")
     args = ap.parse_args()
 
     import jax
@@ -51,7 +58,15 @@ def main():
         seq_r = np.asarray(seq_r)
     else:
         from stvo_pl_tpu.utils import world
-        scene = world.make_world(args.seed)
+        L = args.length or (args.frames * args.speed + 120.0)
+        kw = dict(length=L)
+        if args.scene == "corridor":
+            kw["seed"] = args.seed + 100   # distinct facades from textured
+        elif args.scene == "adversarial":
+            kw.update(seed=args.seed + 200, exposure_amp=0.35)
+        else:
+            kw["seed"] = args.seed
+        scene = world.make_world(**kw)
         seq_l, seq_r = world.render_sequence(scene, np.asarray(poses), cam)
 
     dl = os.path.join(args.out_dir, "image_0")
