@@ -56,6 +56,12 @@ def main():
     elif variant == "edline":
         cfg = cfg.replace(use_edlines=True)
         cfg_label += " + edline quality detector"
+    elif variant == "rlite":
+        cfg = cfg.replace(lsd_right_lite=True)
+        cfg_label += " + right-eye lite line refine"
+    elif variant == "nonfa":
+        cfg = cfg.replace(lsd_log_eps=-1.0, lsd_refine=2)
+        cfg_label += " + NFA threshold disabled (pre-round-4 behavior)"
     elif variant == "octaves2":
         cfg = cfg.replace(lsd_octaves=2)
         cfg_label += " + 2-octave LSD"

@@ -126,6 +126,11 @@ class VOConfig:
     lsd_log_eps: float = 1.0
     lsd_density_th: float = 0.6
     lsd_n_bins: int = 1024
+    # TPU-native asymmetric sampling: the RIGHT eye's segments feed only
+    # stereo matching + the endpoint-disparity intersection (never the f2f
+    # residual), so its LSQ refine can sample 8 instead of 16 along-line
+    # points.  OFF by default pending the bench accuracy A/B.
+    lsd_right_lite: bool = False
 
     # EDLine-style alternative line detector (ops/edline.py) — the
     # reference vendors EDLineDetector but never reaches it from StVO;

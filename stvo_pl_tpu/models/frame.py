@@ -285,7 +285,7 @@ def match_stereo_lines(lines_l: lsd.LineSegments, desc_l,
 
 
 def detect_lines_scaled(im: jnp.ndarray, min_line_length,
-                        cfg: VOConfig) -> lsd.LineSegments:
+                        cfg: VOConfig, lite: bool = False) -> lsd.LineSegments:
     """Dense LSD detection honoring lsd_scale / lsd_sigma_scale.
 
     cv::LSD detects on a Gaussian-smoothed image resampled by `scale` and
@@ -313,9 +313,19 @@ def detect_lines_scaled(im: jnp.ndarray, min_line_length,
         n_dirs=cfg.lsd_n_dirs, ang_th_deg=cfg.lsd_ang_th,
         quant=cfg.lsd_quant, density_th=cfg.lsd_density_th,
         refine=not cfg.use_fld_lines,
-        # NFA validation only in advanced-refinement mode, like
-        # cv::LSD (log_eps ignored otherwise — src/config.cpp:105)
-        log_eps=(cfg.lsd_log_eps if cfg.lsd_refine >= 2 else -1.0))
+        # lite (right-eye) mode halves the along-line refine samples; the
+        # right lines never feed the f2f residual, only stereo matching +
+        # the disparity intersection (gated by a bench accuracy A/B)
+        refine_samples=8 if lite else 16,
+        # cv::LSD ALWAYS validates candidates a-contrario (the LSD paper's
+        # epsilon = 1, i.e. -log10(NFA) > 0); the user-facing log_eps knob
+        # only replaces that threshold in advanced-refinement mode
+        # (lsd_refine >= 2).  Round 3 wrongly gated validation itself
+        # behind lsd_refine >= 2 — rot15 repeatability 0.09 -> 0.14 from
+        # this alone (spurious low-alignment candidates no longer crowd
+        # the capacity).  The FLD path (refine=False) keeps no NFA, like
+        # cv::ximgproc::FastLineDetector.
+        log_eps=(cfg.lsd_log_eps if cfg.lsd_refine >= 2 else 0.0))
     if scale != 1.0:
         H0, W0 = im.shape
         Hs, Ws = det_im.shape
@@ -411,7 +421,7 @@ def extract_stereo_features(img_l: jnp.ndarray, img_r: jnp.ndarray,
         points = empty_points(cfg.point_capacity)
 
     if cfg.has_lines:
-        def detect_one(im):
+        def detect_one(im, lite=False):
             if cfg.use_edlines:
                 from stvo_pl_tpu.ops.edline import detect_edlines
                 f = max(1, int(cfg.edline_scale))
@@ -453,7 +463,8 @@ def extract_stereo_features(img_l: jnp.ndarray, img_r: jnp.ndarray,
                     im, min_line_length, cfg)
                 return segs, desc_b, octv
             else:
-                segs = detect_lines_scaled(im, min_line_length, cfg)
+                segs = detect_lines_scaled(im, min_line_length, cfg,
+                                           lite=lite)
             gx, gy = sobel(im)
             _, desc_b = lbd.compute_lbd(gx, gy, segs.sp, segs.ep)
             return segs, desc_b, jnp.zeros((segs.sp.shape[0],), jnp.int32)
@@ -461,7 +472,8 @@ def extract_stereo_features(img_l: jnp.ndarray, img_r: jnp.ndarray,
         # overlaps the two independent chains; folding them into batch-8
         # launches measured 253 -> 203 fps
         segs_l, ldesc_l, octv_l = detect_one(img_l)
-        segs_r, ldesc_r, _ = detect_one(img_r)
+        segs_r, ldesc_r, _ = detect_one(img_r,
+                                        lite=cfg.lsd_right_lite)
         lines = match_stereo_lines(segs_l, ldesc_l, segs_r, ldesc_r, cam,
                                    cfg, level_l=octv_l, tp=tp)
     else:

@@ -433,7 +433,7 @@ def _suppress_duplicates(sp, ep, resp, valid, perp_tol: float,
 
 @functools.partial(jax.jit, static_argnames=(
     "capacity", "n_dirs", "k_per_dir", "ang_th_deg", "quant", "density_th",
-    "sigma", "refine", "log_eps"))
+    "sigma", "refine", "log_eps", "refine_samples", "refine_search"))
 def detect_line_segments(
     img: jnp.ndarray,
     min_length: float,
@@ -446,6 +446,8 @@ def detect_line_segments(
     sigma: float = 0.8,
     refine: bool = True,
     log_eps: float = -1.0,
+    refine_samples: int = 16,
+    refine_search: int = 2,
 ) -> LineSegments:
     """Full dense line-segment detection on one grayscale image [H, W].
 
@@ -533,7 +535,8 @@ def detect_line_segments(
 
     if refine:
         sp, ep, density, v, align_frac = _refine_segments(
-            ang, mag, sp[:, 0], sp[:, 1], ep[:, 0], ep[:, 1], v, tol)
+            ang, mag, sp[:, 0], sp[:, 1], ep[:, 0], ep[:, 1], v, tol,
+            n_samples=refine_samples, search=refine_search)
         v = v & (density >= density_th)
         if log_eps >= 0:
             nl10 = nfa_neg_log10(jnp.linalg.norm(ep - sp, axis=-1),

@@ -126,7 +126,9 @@ def detect_lines_ours(img):
     from stvo_pl_tpu.ops import lsd
     segs = lsd.detect_line_segments(jnp.asarray(img, jnp.float32),
                                     jnp.float32(0.04 * min(img.shape)),
-                                    capacity=128)
+                                    capacity=128,
+                                    log_eps=0.0)  # production default:
+    # NFA always validates, like cv::LSD (models/frame.py round 4)
     v = np.asarray(segs.valid)
     return np.asarray(segs.sp)[v], np.asarray(segs.ep)[v]
 
