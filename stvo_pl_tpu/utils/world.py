@@ -179,6 +179,13 @@ def make_world(seed: int = 0, length: float = 120.0, half_width: float = 9.0,
         return photos[i % len(photos)]
 
     L = length
+    # texture density must track LENGTH: the facade/ground textures map a
+    # fixed texel grid onto the whole world, so a long world with the
+    # original fixed sizes stretches to ~9 px/texel at viewing distance —
+    # featureless blur that free-falls tracking (found by the round-4
+    # 1000-frame drift runs).  sf = 1 for all lengths <= 120 keeps every
+    # existing test world bit-identical.
+    sf = max(1.0, L / 120.0)
     quads = [
         # ground plane: y = +cam_height (camera y points down in image
         # coords; world here is the camera start frame: x right, y down,
@@ -186,25 +193,31 @@ def make_world(seed: int = 0, length: float = 120.0, half_width: float = 9.0,
         Quad(np.array([-half_width * 2, cam_height, -5.0]),
              np.array([4.0 * half_width, 0.0, 0.0]),
              np.array([0.0, 0.0, L + 15.0]),
-             _surface_texture(photo(0), rng, reps=(4, 8), size=(1024, 4096))),
+             _surface_texture(photo(0), rng, reps=(4, int(8 * sf)),
+                              size=(1024, int(4096 * sf)))),
         # left facade (x = -half_width), spans full length, 8 m tall.
         # texture rows follow v (height), cols follow u (length):
         # ~60 texels/m both ways, windows every ~4.5 m
         Quad(np.array([-half_width, cam_height, -5.0]),
              np.array([0.0, 0.0, L + 15.0]),
              np.array([0.0, -8.0, 0.0]),
-             _surface_texture(photo(1), rng, reps=(2, 24), windows=True,
-                              window_grid=(2, 30), size=(512, 8192))),
+             _surface_texture(photo(1), rng, reps=(2, int(24 * sf)),
+                              windows=True,
+                              window_grid=(2, int(30 * sf)),
+                              size=(512, int(8192 * sf)))),
         # right facade (x = +half_width)
         Quad(np.array([half_width, cam_height, -5.0]),
              np.array([0.0, 0.0, L + 15.0]),
              np.array([0.0, -8.0, 0.0]),
-             _surface_texture(photo(2), rng, reps=(2, 24), windows=True,
-                              window_grid=(2, 30), size=(512, 8192))),
+             _surface_texture(photo(2), rng, reps=(2, int(24 * sf)),
+                              windows=True,
+                              window_grid=(2, int(30 * sf)),
+                              size=(512, int(8192 * sf)))),
     ]
     # box occluders: fronto-facing textured quads at varying depth/side
-    for k in range(6):
-        z = 14.0 + k * (L - 20.0) / 6.0 + rng.uniform(-3, 3)
+    n_box = max(6, int(round(6 * sf)))
+    for k in range(n_box):
+        z = 14.0 + k * (L - 20.0) / n_box + rng.uniform(-3, 3)
         x = rng.uniform(-half_width + 1.5, half_width - 3.5)
         w = rng.uniform(1.5, 3.0)
         h = rng.uniform(1.2, 2.4)
@@ -236,6 +249,12 @@ def render_view(world: World, T_wc: np.ndarray, cam,
     img += (8.0 * (np.arange(H, dtype=np.float32) / H))[:, None]
     zbuf = np.full((H, W), np.inf)
     for q in world.quads:
+        # z-cull: skip quads fully behind the camera or far beyond the
+        # horizon (long worlds carry dozens of occluder boxes; without the
+        # cull the render cost grows linearly with world length)
+        zs = (q.p0[2], q.p0[2] + q.u[2] + q.v[2])
+        if max(zs) < o[2] + 0.2 or min(zs) > o[2] + 200.0:
+            continue
         denom = d_w @ q.n
         denom = np.where(np.abs(denom) < 1e-9, 1e-9, denom)
         t = ((q.p0 - o) @ q.n) / denom

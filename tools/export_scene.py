@@ -49,7 +49,12 @@ def main():
     cam = cam_ops.StereoCamera(fx=718.856, fy=718.856, cx=613.0, cy=185.0,
                                b=0.5372, width=1226, height=370)
     key = jax.random.PRNGKey(args.seed)
-    poses = synthetic.smooth_trajectory(args.frames, speed=args.speed)
+    # world scenes are straight street canyons: the default meandering yaw
+    # would steer the camera through the walls on long runs (x drifted to
+    # 300 m by frame 1000); keep the sway/bob, drop the yaw
+    yaw = 0.0 if args.scene != "stamps" else 0.004
+    poses = synthetic.smooth_trajectory(args.frames, speed=args.speed,
+                                        yaw_rate=yaw)
     if args.scene == "stamps":
         scene = synthetic.make_scene(key, n_points=1400, n_lines=64,
                                      extent=(40.0, 15.0, 90.0), z_near=5.0)
