@@ -197,3 +197,34 @@ def render_sequence(scene: Scene, poses: jnp.ndarray,
     def f(T):
         return render_stereo(scene, T, cam)
     return jax.lax.map(f, poses)
+
+
+def street_trajectory(n_frames: int, speed=0.8, sway=0.3, bob=0.06,
+                      yaw_amp=0.008, pitch_amp=0.004,
+                      dtype=jnp.float32) -> jnp.ndarray:
+    """[T, 4, 4] camera-to-world poses for a street-canyon world: straight
+    forward motion with BOUNDED sinusoidal sway/bob/yaw/pitch.
+
+    smooth_trajectory integrates body-frame velocity increments, so its
+    lateral/vertical excursions random-walk without bound — on a 1000-frame
+    run the camera climbed 38 m above the canyon and left the world
+    (round-4 drift-eval debugging).  Here lateral offsets and look angles
+    are direct bounded functions of time, so the camera stays inside the
+    canyon for any horizon.
+    """
+    poses = []
+    for i in range(n_frames):
+        x = sway * np.sin(2 * np.pi * i / 140.0)
+        y = -bob * np.sin(2 * np.pi * i / 90.0)
+        z = speed * i
+        yaw = yaw_amp * np.sin(2 * np.pi * i / 200.0)
+        pitch = pitch_amp * np.sin(2 * np.pi * i / 170.0)
+        cy_, sy_ = np.cos(yaw), np.sin(yaw)
+        cp, sp = np.cos(pitch), np.sin(pitch)
+        Ry = np.array([[cy_, 0, sy_], [0, 1, 0], [-sy_, 0, cy_]])
+        Rx = np.array([[1, 0, 0], [0, cp, -sp], [0, sp, cp]])
+        T = np.eye(4)
+        T[:3, :3] = Ry @ Rx
+        T[:3, 3] = (x, y, z)
+        poses.append(T)
+    return jnp.asarray(np.stack(poses), dtype)

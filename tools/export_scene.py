@@ -49,12 +49,14 @@ def main():
     cam = cam_ops.StereoCamera(fx=718.856, fy=718.856, cx=613.0, cy=185.0,
                                b=0.5372, width=1226, height=370)
     key = jax.random.PRNGKey(args.seed)
-    # world scenes are straight street canyons: the default meandering yaw
-    # would steer the camera through the walls on long runs (x drifted to
-    # 300 m by frame 1000); keep the sway/bob, drop the yaw
-    yaw = 0.0 if args.scene != "stamps" else 0.004
-    poses = synthetic.smooth_trajectory(args.frames, speed=args.speed,
-                                        yaw_rate=yaw)
+    if args.scene == "stamps":
+        poses = synthetic.smooth_trajectory(args.frames, speed=args.speed)
+    else:
+        # world scenes are straight street canyons: smooth_trajectory's
+        # integrated increments random-walk out of the canyon on long runs
+        # (38 m of altitude by frame 1000); street_trajectory's bounded
+        # offsets stay inside for any horizon
+        poses = synthetic.street_trajectory(args.frames, speed=args.speed)
     if args.scene == "stamps":
         scene = synthetic.make_scene(key, n_points=1400, n_lines=64,
                                      extent=(40.0, 15.0, 90.0), z_near=5.0)
