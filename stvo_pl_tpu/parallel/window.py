@@ -229,6 +229,11 @@ def _build_line_tracks(win: KeyframeWindow, cam: cam_ops.StereoCamera,
 
     def dir_cand(a, b):
         cosang = jnp.abs(jnp.einsum("ic,jc->ij", dirs[a], dirs[b]))
+        # the matcher's own threshold; a 0.95 (18 deg) tightening and a
+        # 4 px endpoint gate were MEASURED WORSE on all three 1000-frame
+        # scenes (textured 2.76 -> 4.14 m, adversarial 12.9 -> 27.8 m):
+        # starving the refiner of line support hurts more than the
+        # occasional wrong track the Cauchy weight already suppresses
         return cosang > cfg.line_sim_th
 
     Lf = _track_labels(dist_fn, valid, K, Nl, cfg.min_ratio_12_l, cfg,
