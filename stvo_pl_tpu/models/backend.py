@@ -38,7 +38,7 @@ class WindowedBA:
     def __init__(self, cam: cam_ops.StereoCamera, cfg: VOConfig,
                  window: int = 4, n_iters: int = 8,
                  force_kf_every: int = 0, multi_anchor: bool = True,
-                 use_lines: bool = True):
+                 use_lines: bool = True, max_correction: float = 1.0):
         self.cam = cam
         self.cfg = cfg
         self.window = window
@@ -46,6 +46,14 @@ class WindowedBA:
         self.force_kf_every = force_kf_every
         self.multi_anchor = multi_anchor
         self.use_lines = use_lines
+        # per-window trust gate: the largest translation any window may
+        # move a keyframe.  The VO front end drifts ~1% of path, so a
+        # legitimate within-window correction is centimeters; a refinement
+        # asking for more is being dragged by corrupted tracks (the
+        # adversarial exposure-swing scene produces exactly this).  Such
+        # windows are SKIPPED — raw poses kept, chain undisturbed.
+        self.max_correction = max_correction
+        self.n_skipped = 0
         # ring entries: (frame_idx, T_corrected [4,4] np, T_raw, PointSet,
         #                LineSet | None)
         self._ring: list[tuple] = []
@@ -88,6 +96,17 @@ class WindowedBA:
             multi_anchor=self.multi_anchor)
         Tfw_new = np.asarray(Tfw_new, dtype=np.float64)
         idxs = [i for i, *_ in self._ring]
+        # trust gate on the WITHIN-WINDOW increment (refined vs the
+        # window's own input poses — cumulative chain corrections are
+        # excluded); oversized requests mean corrupted tracks
+        inc_t = max(np.linalg.norm(
+            (Tfw_new[k] @ np.linalg.inv(self._ring[k][1]))[:3, 3])
+            for k in range(len(idxs)))
+        if inc_t > self.max_correction:
+            self.n_skipped += 1
+            last = self._ring[-1]
+            self._ring = [last]
+            return None
         # per-KF output correction vs the RAW trajectory
         C = np.stack([Tfw_new[k] @ np.linalg.inv(self._ring[k][2])
                       for k in range(len(idxs))])
