@@ -165,6 +165,14 @@ class VOConfig:
     # spatial grid (reference GRID_ROWS/GRID_COLS, include/stereoFrame.h:51-52)
     grid_rows: int = 48
     grid_cols: int = 64
+    # two-bucket length-adaptive LBD: the reference integrates EVERY pixel
+    # of the rotated support region (binary_descriptor_custom.cpp:
+    # 1142-1241); the fixed 8-sample grid under-samples long lines on
+    # high-resolution frames.  Static shapes don't forbid TWO capacities:
+    # the longer half of line_capacity gets lbd_long_samples along-line
+    # samples, the shorter half keeps 8.  Set to 8 to disable bucketing
+    # (single 8-sample pass, pre-round-5 behavior).
+    lbd_long_samples: int = 16
     # number of discrete line orientations scanned by the dense detector
     lsd_n_dirs: int = 12
     # sub-pixel point localization (ops/subpix.py): Foerstner/cornerSubPix
@@ -236,6 +244,12 @@ def _warn_inert_keys(cfg: VOConfig) -> None:
             f"orb_patch_size={cfg.orb_patch_size} exceeds the gathered "
             "33x33 patch; test points are clipped to a 13 px radius "
             "(see ops/orb.py:_make_pattern)", stacklevel=3)
+    if cfg.lsd_right_lite and (cfg.lsd_octaves > 1 or cfg.use_edlines):
+        warnings.warn(
+            "lsd_right_lite has no effect when lsd_octaves > 1 or "
+            "use_edlines is set: the multi-octave and EDLine detection "
+            "branches use full sampling for both eyes (see "
+            "models/frame.py detect_one)", stacklevel=3)
     if cfg.lsd_n_bins != 1024:
         warnings.warn(
             f"lsd_n_bins={cfg.lsd_n_bins} is parsed for config parity but "

@@ -337,8 +337,52 @@ def detect_lines_scaled(im: jnp.ndarray, min_line_length,
     return segs
 
 
+def _length_buckets(length: jnp.ndarray, valid: jnp.ndarray, cap: int):
+    """Split the capacity into a LONG half and a SHORT half by measured
+    length (two-bucket length-adaptive LBD, see config.lbd_long_samples).
+    Returns (long_idx [cap//2], short_idx [cap - cap//2])."""
+    order = jnp.argsort(-jnp.where(valid, length, 0.0))
+    half = cap // 2
+    return order[:half], order[half:]
+
+
+def _lbd_two_bucket(gx: jnp.ndarray, gy: jnp.ndarray,
+                    segs: lsd.LineSegments, cfg: VOConfig) -> jnp.ndarray:
+    """LBD with length-adaptive along-line sampling.
+
+    The reference integrates every pixel of the rotated support region
+    (binary_descriptor_custom.cpp:1142-1241); the dense 8-sample grid
+    under-samples long lines.  The longer half of the capacity gets
+    cfg.lbd_long_samples samples, the shorter half keeps the 8-sample
+    grid; band statistics are mean/std over samples so both buckets'
+    descriptors live in the same space and match freely."""
+    if cfg.lbd_long_samples <= lbd.N_SAMPLES:
+        _, desc = lbd.compute_lbd(gx, gy, segs.sp, segs.ep)
+        return desc
+    cap = segs.sp.shape[0]
+    li, si = _length_buckets(segs.length, segs.valid, cap)
+    _, d_long = lbd.compute_lbd(gx, gy, segs.sp[li], segs.ep[li],
+                                n_samples=cfg.lbd_long_samples)
+    _, d_short = lbd.compute_lbd(gx, gy, segs.sp[si], segs.ep[si])
+    return (jnp.zeros((cap, 8), jnp.uint32)
+            .at[li].set(d_long).at[si].set(d_short))
+
+
+def _octave_budgets(cap: int, n_oct: int) -> list[int]:
+    """Per-octave line quotas, geometric with ratio 1/2 (the pyramid's own
+    detail falloff), summing to cap — the line analogue of
+    _per_level_budgets.  A global length-ranked top-k instead lets
+    coarse-octave lines (2x level-0 extent per detected pixel) crowd out
+    fine ones; measured round 4 as a blown 0.26 ATE lane at octaves=2."""
+    weights = [0.5 ** o for o in range(n_oct)]
+    s = sum(weights)
+    budgets = [max(8, int(round(cap * w / s))) for w in weights]
+    budgets[0] += cap - sum(budgets)
+    return budgets
+
+
 def detect_lines_octaves(im: jnp.ndarray, min_line_length, cfg: VOConfig):
-    """Multi-octave line detection + per-octave LBD.
+    """Multi-octave line detection + octave-correct LBD after selection.
 
     Rebuilds the vendored library's full multi-octave surface
     (LSDDetectorC::detect with numOctaves > 1: Gaussian pyramid with ratio
@@ -350,13 +394,22 @@ def detect_lines_octaves(im: jnp.ndarray, min_line_length, cfg: VOConfig):
     the LBD stage; the dense analogue here is one pairwise duplicate
     suppression over the union (longer level-0 extent wins).
 
+    Two TPU-first choices versus the naive formulation (round-5 rework):
+      * lines are SELECTED first (dedup + per-octave quota top-k), and LBD
+        runs ONCE over the cap survivors, gathering from a side-by-side
+        per-octave Sobel atlas indexed by each line's octave
+        (ops/lbd.compute_lbd_atlas) — not per-octave over full capacity
+        before selection (~5 ms/step of duplicated descriptor work);
+      * capacity is split across octaves geometrically (_octave_budgets)
+        instead of one global length-ranked top-k.
+
     Returns (LineSegments in octave-0 coords, octave [K] int32,
     lbd descriptors [K, 8] uint32), K = line_capacity.
     """
     H0, W0 = im.shape
     cap = cfg.line_capacity
-    dtype = im.dtype
     parts = []
+    octave_imgs = []
     cur = im
     for o in range(max(1, cfg.lsd_octaves)):
         if o > 0:
@@ -366,9 +419,8 @@ def detect_lines_octaves(im: jnp.ndarray, min_line_length, cfg: VOConfig):
             # pyrDown equivalent: antialiasing blur composed into the
             # resize matmul (ops/image.resize_bilinear)
             cur = resize_bilinear(cur, H // 2, W // 2, blur_sigma=1.0)
+        octave_imgs.append(cur)
         segs = detect_lines_scaled(cur, min_line_length, cfg)
-        gx, gy = sobel(cur)
-        _, desc = lbd.compute_lbd(gx, gy, segs.sp, segs.ep)
         # exact half-pixel-center map to octave-0 coords (the reference
         # multiplies by scale^octave; integer halving makes the effective
         # per-axis factor differ slightly from 2^o)
@@ -379,30 +431,75 @@ def detect_lines_octaves(im: jnp.ndarray, min_line_length, cfg: VOConfig):
         sp0, ep0 = to0(segs.sp), to0(segs.ep)
         len0 = jnp.linalg.norm(ep0 - sp0, axis=-1)
         parts.append((sp0, ep0, jnp.where(segs.valid, len0, 0.0),
-                      segs.valid, jnp.full((cap,), o, jnp.int32), desc))
+                      segs.valid, segs.sp, segs.ep))
+    n_oct = len(parts)
 
     sp = jnp.concatenate([p[0] for p in parts])
     ep = jnp.concatenate([p[1] for p in parts])
     length = jnp.concatenate([p[2] for p in parts])
     valid = jnp.concatenate([p[3] for p in parts])
-    octv = jnp.concatenate([p[4] for p in parts])
-    desc = jnp.concatenate([p[5] for p in parts])
 
-    if len(parts) > 1:
+    if n_oct > 1:
         # the same physical line detected at 2+ octaves: keep the longer
         # level-0 extent (ties to the finer octave via index order)
         valid = lsd._suppress_duplicates(sp, ep, length, valid,
                                          perp_tol=3.0, overlap_tol=0.5)
-    resp = jnp.where(valid, length, 0.0)
-    top, pos = jax.lax.top_k(resp, cap)
+
+    # per-octave quota top-k (parts are contiguous cap-sized slices)
+    budgets = _octave_budgets(cap, n_oct)
+    sel_chunks = []
+    for o in range(n_oct):
+        lo = o * cap
+        resp_o = jnp.where(valid[lo:lo + cap], length[lo:lo + cap], 0.0)
+        top_o, pos_o = jax.lax.top_k(resp_o, min(budgets[o], cap))
+        sel_chunks.append((top_o, pos_o + lo, jnp.full_like(pos_o, o)))
+    resp = jnp.concatenate([c[0] for c in sel_chunks])
+    pos = jnp.concatenate([c[1] for c in sel_chunks])
+    octv = jnp.concatenate([c[2] for c in sel_chunks])
     take = lambda a: jnp.take(a, pos, axis=0)
-    sp, ep, length, octv, desc = (take(sp), take(ep), take(length),
-                                  take(octv), take(desc))
+    sp, ep, length = take(sp), take(ep), take(length)
+    sp_oct = jnp.concatenate([p[4] for p in parts])[pos]
+    ep_oct = jnp.concatenate([p[5] for p in parts])[pos]
+    v = resp > 0
+
+    # LBD once over the survivors: side-by-side per-octave Sobel atlas,
+    # each line sampling its OWN octave's gradients in octave coords
+    atlas_parts, x_offs, x_his, y_his = [], [], [], []
+    col = 0
+    for img_o in octave_imgs:
+        gx, gy = sobel(img_o)
+        g2 = jnp.stack([gx, gy], axis=-1)
+        Ho, Wo = img_o.shape
+        atlas_parts.append(jnp.pad(g2, ((0, H0 - Ho), (0, 0), (0, 0))))
+        x_offs.append(col)
+        x_his.append(Wo - 1)
+        y_his.append(Ho - 1)
+        col += Wo
+    atlas = jnp.concatenate(atlas_parts, axis=1)     # [H0, sum Wo, 2]
+    x_off = jnp.asarray(x_offs, jnp.int32)[octv]
+    x_hi = jnp.asarray(x_his, jnp.int32)[octv]
+    y_hi = jnp.asarray(y_his, jnp.int32)[octv]
+    if cfg.lbd_long_samples > lbd.N_SAMPLES:
+        # two-bucket length-adaptive sampling (octave-coord lengths: the
+        # taps live in octave coordinates)
+        len_oct = jnp.linalg.norm(ep_oct - sp_oct, axis=-1)
+        li, si = _length_buckets(len_oct, v, cap)
+        _, d_long = lbd.compute_lbd_atlas(
+            atlas, sp_oct[li], ep_oct[li], x_off[li], x_hi[li], y_hi[li],
+            n_samples=cfg.lbd_long_samples)
+        _, d_short = lbd.compute_lbd_atlas(
+            atlas, sp_oct[si], ep_oct[si], x_off[si], x_hi[si], y_hi[si])
+        desc = (jnp.zeros((cap, 8), jnp.uint32)
+                .at[li].set(d_long).at[si].set(d_short))
+    else:
+        _, desc = lbd.compute_lbd_atlas(atlas, sp_oct, ep_oct, x_off, x_hi,
+                                        y_hi)
+
     dvec = ep - sp
     segs_out = lsd.LineSegments(
         sp=sp, ep=ep,
         angle=jnp.arctan2(dvec[:, 1], dvec[:, 0]),
-        length=length, resp=top, valid=top > 0)
+        length=length, resp=resp, valid=v)
     return segs_out, octv, desc
 
 
@@ -466,7 +563,7 @@ def extract_stereo_features(img_l: jnp.ndarray, img_r: jnp.ndarray,
                 segs = detect_lines_scaled(im, min_line_length, cfg,
                                            lite=lite)
             gx, gy = sobel(im)
-            _, desc_b = lbd.compute_lbd(gx, gy, segs.sp, segs.ep)
+            desc_b = _lbd_two_bucket(gx, gy, segs, cfg)
             return segs, desc_b, jnp.zeros((segs.sp.shape[0],), jnp.int32)
         # L and R stay separate subgraphs (NOT a vmapped eye axis): XLA
         # overlaps the two independent chains; folding them into batch-8
@@ -533,7 +630,7 @@ def extract_rgbd_features(img: jnp.ndarray, depth: jnp.ndarray,
                 quant=cfg.lsd_quant, density_th=cfg.lsd_density_th,
                 log_eps=(cfg.lsd_log_eps if cfg.lsd_refine >= 2 else -1.0))
         gx, gy = sobel(img)
-        _, ldesc = lbd.compute_lbd(gx, gy, segs.sp, segs.ep)
+        ldesc = _lbd_two_bucket(gx, gy, segs, cfg)
         ds = _sample_depth(depth, segs.sp)
         de = _sample_depth(depth, segs.ep)
         ok_d = ((ds > cfg.rgbd_min_depth) & (ds < cfg.rgbd_max_depth)

@@ -92,12 +92,33 @@ def _binarization_pairs():
 _PAIRS = jnp.asarray(_binarization_pairs())  # [32, 2]
 
 
-@functools.partial(jax.jit, static_argnames=())
+def _tap_grid(sp: jnp.ndarray, ep: jnp.ndarray, n_samples: int = N_SAMPLES):
+    """Rotated line-support sampling grid.
+
+    Returns (px, py [K, S, R] float tap coordinates, dl, do [K, 2] the
+    line/orthogonal unit frame)."""
+    d = ep - sp
+    length = jnp.maximum(jnp.linalg.norm(d, axis=-1), 1e-6)
+    dl = d / length[:, None]                        # line direction [K, 2]
+    do = jnp.stack([-dl[:, 1], dl[:, 0]], axis=-1)  # orthogonal
+
+    t = jnp.linspace(0.0, 1.0, n_samples)
+    along = sp[:, None, :] + d[:, None, :] * t[None, :, None]   # [K, S, 2]
+    off = jnp.asarray(_TAP_OFF, jnp.float32)                    # [R]
+    pts = (along[:, :, None, :]
+           + do[:, None, None, :] * off[None, None, :, None])
+    return pts[..., 0], pts[..., 1], dl, do
+
+
+@functools.partial(jax.jit, static_argnames=("n_samples",))
 def compute_lbd(gx: jnp.ndarray, gy: jnp.ndarray, sp: jnp.ndarray,
-                ep: jnp.ndarray):
+                ep: jnp.ndarray, n_samples: int = N_SAMPLES):
     """LBD descriptors for K lines.
 
     gx, gy: [H, W] image gradients (Sobel).  sp, ep: [K, 2] endpoints.
+    n_samples: along-line sample count (the band statistics are mean/std
+    OVER samples, so descriptors with different sample counts live in the
+    same space — the two-bucket length-adaptive mode relies on this).
     Returns (desc_f [K, 72] float32 L2-ish normalized, desc_b [K, 8] uint32).
     """
     if PRE_SIGMA > 0:
@@ -105,18 +126,7 @@ def compute_lbd(gx: jnp.ndarray, gy: jnp.ndarray, sp: jnp.ndarray,
         gx = gaussian_blur(gx, PRE_SIGMA)
         gy = gaussian_blur(gy, PRE_SIGMA)
 
-    d = ep - sp
-    length = jnp.maximum(jnp.linalg.norm(d, axis=-1), 1e-6)
-    dl = d / length[:, None]                        # line direction [K, 2]
-    do = jnp.stack([-dl[:, 1], dl[:, 0]], axis=-1)  # orthogonal
-
-    t = jnp.linspace(0.0, 1.0, N_SAMPLES)
-    along = sp[:, None, :] + d[:, None, :] * t[None, :, None]   # [K, S, 2]
-    off = jnp.asarray(_TAP_OFF, jnp.float32)                    # [R]
-    pts = (along[:, :, None, :]
-           + do[:, None, None, :] * off[None, None, :, None])
-    px = pts[..., 0]
-    py = pts[..., 1]
+    px, py, dl, do = _tap_grid(sp, ep, n_samples)
     # nearest-neighbor channel-paired gather: (gx, gy) stacked channel-last
     # hits XLA's vectorized gather path (one index per 2-vector).  Packing
     # the pair as bf16 in one u32 to halve the bytes measured SLOWER — the
@@ -126,6 +136,40 @@ def compute_lbd(gx: jnp.ndarray, gy: jnp.ndarray, sp: jnp.ndarray,
     xi = jnp.clip(jnp.round(px).astype(jnp.int32), 0, W - 1)
     yi = jnp.clip(jnp.round(py).astype(jnp.int32), 0, H - 1)
     sg = g2[yi, xi]                                 # [K, S, R, 2]
+    return _lbd_from_taps(sg, dl, do)
+
+
+@functools.partial(jax.jit, static_argnames=("n_samples",))
+def compute_lbd_atlas(g2: jnp.ndarray, sp: jnp.ndarray, ep: jnp.ndarray,
+                      x_off: jnp.ndarray, x_hi: jnp.ndarray,
+                      y_hi: jnp.ndarray, n_samples: int = N_SAMPLES):
+    """LBD from a side-by-side multi-octave gradient atlas.
+
+    The reference computes LBD from each octave's OWN Sobel gradients
+    (binary_descriptor_custom.cpp:689-1024): a line detected at octave o
+    samples its 63-px support region in octave-o coordinates.  Here all
+    octave gradient planes live in ONE [H0, sum(W_o), 2] atlas (each octave
+    top-aligned at column offset x_off[o]) so a single channel-paired
+    gather serves every selected line regardless of its octave — the
+    per-octave full-capacity LBD of the naive formulation is replaced by
+    one capacity-sized pass after cross-octave selection.
+
+    g2: [H, W_total, 2] atlas of (gx, gy).  sp, ep: [K, 2] endpoints in
+    EACH LINE'S OWN octave coordinates.  x_off, x_hi, y_hi: [K] int32
+    per-line column offset and inclusive clip bounds of that octave's
+    plane.  Returns (desc_f [K, 72], desc_b [K, 8] uint32).
+    """
+    px, py, dl, do = _tap_grid(sp, ep, n_samples)
+    xi = (jnp.clip(jnp.round(px).astype(jnp.int32), 0, x_hi[:, None, None])
+          + x_off[:, None, None])
+    yi = jnp.clip(jnp.round(py).astype(jnp.int32), 0, y_hi[:, None, None])
+    sg = g2[yi, xi]                                 # [K, S, R, 2]
+    return _lbd_from_taps(sg, dl, do)
+
+
+def _lbd_from_taps(sg: jnp.ndarray, dl: jnp.ndarray, do: jnp.ndarray):
+    """Band statistics + normalization + binarization from gathered taps
+    (sg [K, S, R, 2] sampled (gx, gy); dl/do [K, 2] the line frame)."""
     sgx = sg[..., 0]
     sgy = sg[..., 1]
 

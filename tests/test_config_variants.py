@@ -83,3 +83,11 @@ def test_preset_files_load_and_run():
         min_features=8)
     ate, _ = run(cfg, n=4)
     assert ate < 0.15, ate
+
+
+def test_multi_octave_lsd_path():
+    """lsd_octaves > 1 end-to-end: per-octave detection with quota-split
+    capacity + octave-indexed LBD atlas (round-5 rework) must track."""
+    ate, telem = run(BASE.replace(lsd_octaves=2))
+    assert ate < 0.15, ate
+    assert int(np.asarray(telem.n_points)[1:].min()) > 8

@@ -284,6 +284,14 @@ def test_inert_key_warnings():
         warnings.simplefilter("always")
         config_from_mapping({"orb_patch_size": 63})
         assert any("orb_patch_size" in str(x.message) for x in w)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        config_from_mapping({"lsd_right_lite": True, "lsd_octaves": 2})
+        assert any("lsd_right_lite" in str(x.message) for x in w)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        config_from_mapping({"lsd_right_lite": True})
+        assert not any("lsd_right_lite" in str(x.message) for x in w)
 
 
 def _wta_naive(patch, pattern, wta_k):
@@ -371,3 +379,53 @@ def test_wta_descriptor_rotation_stability():
     rand_d = dist[keep][:, ~keep].mean() if (~keep).any() else 64.0
     # same physical corner must be far closer than random pairs
     assert self_d.mean() < 0.6 * rand_d, (self_d.mean(), rand_d)
+
+
+def test_lbd_atlas_matches_plain_lbd(rng):
+    """compute_lbd_atlas with a single-plane atlas (x_off=0, full clip
+    bounds) must reproduce compute_lbd bit-for-bit — the octave path's
+    descriptor source is the same math, only the gather is atlas-indexed."""
+    from stvo_pl_tpu.ops import lbd
+    from stvo_pl_tpu.ops.image import sobel
+
+    img = rng.normal(80, 30, (120, 160)).astype(np.float32)
+    gx, gy = sobel(jnp.asarray(img))
+    sp = jnp.asarray(rng.uniform(10, 100, (24, 2)).astype(np.float32))
+    ep = sp + jnp.asarray(rng.uniform(-40, 40, (24, 2)).astype(np.float32))
+    _, d_plain = lbd.compute_lbd(gx, gy, sp, ep)
+    g2 = jnp.stack([gx, gy], axis=-1)
+    K = sp.shape[0]
+    zeros = jnp.zeros((K,), jnp.int32)
+    _, d_atlas = lbd.compute_lbd_atlas(
+        g2, sp, ep, zeros, jnp.full((K,), 160 - 1, jnp.int32),
+        jnp.full((K,), 120 - 1, jnp.int32))
+    np.testing.assert_array_equal(np.asarray(d_plain), np.asarray(d_atlas))
+
+
+def test_multi_octave_quotas_and_octave_descriptors():
+    """detect_lines_octaves must (a) respect per-octave capacity quotas —
+    coarse octaves may not crowd out fine ones — and (b) produce non-zero
+    descriptors for lines of EVERY octave (the atlas gather reaches each
+    octave's own Sobel plane)."""
+    from stvo_pl_tpu.config import VOConfig
+    from stvo_pl_tpu.models import frame as frame_mod
+
+    # long high-contrast strokes at several scales
+    img = np.full((180, 240), 40.0, np.float32)
+    for y in (30, 60, 90, 120, 150):
+        img[y:y + 2, 20:220] = 220.0
+    for x in (40, 120, 200):
+        img[20:160, x:x + 2] = 220.0
+    cfg = VOConfig(lsd_nfeatures=32, lsd_n_dirs=8, lsd_octaves=2)
+    segs, octv, desc = frame_mod.detect_lines_octaves(
+        jnp.asarray(img), 0.025 * 180, cfg)
+    v = np.asarray(segs.valid)
+    o = np.asarray(octv)
+    assert v.sum() > 4, v.sum()
+    budgets = frame_mod._octave_budgets(32, 2)
+    for oc in range(2):
+        assert (v & (o == oc)).sum() <= budgets[oc], (oc, budgets)
+    # both octaves detect these long strokes; each contributes lines
+    assert (v & (o == 0)).sum() > 0 and (v & (o == 1)).sum() > 0, o[v]
+    d = np.asarray(desc)[v]
+    assert (d.sum(axis=1) != 0).all(), "zero descriptor for a valid line"
