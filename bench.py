@@ -65,6 +65,9 @@ def main():
     elif variant == "octaves2":
         cfg = cfg.replace(lsd_octaves=2)
         cfg_label += " + 2-octave LSD"
+    elif variant == "octaves3":
+        cfg = cfg.replace(lsd_octaves=3)
+        cfg_label += " + 3-octave LSD"
     elif variant:
         raise SystemExit(f"unknown STVO_BENCH_VARIANT={variant}")
 

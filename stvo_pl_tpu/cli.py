@@ -51,6 +51,22 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--ba-no-lines", action="store_true",
                     help="exclude line-endpoint landmarks from the windowed "
                          "BA (A/B; default refines points AND lines)")
+    ap.add_argument("--ba-line-trust-tol", type=float, default=0.25,
+                    metavar="T",
+                    help="automatic line-trust gate: reject a window's line "
+                         "landmarks when the joint solution disagrees with "
+                         "the points-only solution by > T meters (rotation "
+                         "gated at 4*T degrees alongside)")
+    ap.add_argument("--ba-forced-lines", action="store_true",
+                    help="skip the automatic per-window line-trust check "
+                         "and always solve the joint points+lines system "
+                         "(pre-round-5 behavior, A/B escape hatch)")
+    ap.add_argument("--ba-max-correction", type=float, default=1.0,
+                    metavar="M",
+                    help="per-window trust gate: skip any BA window whose "
+                         "refined poses move more than M meters from the "
+                         "window's input poses (corrupted-track defense; "
+                         "rotations are gated at 5 deg alongside)")
     ap.add_argument("--ba-anchor-only", action="store_true",
                     help="restrict BA landmarks to the window's anchor "
                          "keyframe (legacy builder; default unions tracks "
@@ -126,7 +142,11 @@ def main(argv=None):
         backend = WindowedBA(cam, cfg, window=args.ba_window,
                              force_kf_every=args.ba_kf_every,
                              multi_anchor=not args.ba_anchor_only,
-                             use_lines=not args.ba_no_lines)
+                             use_lines=not args.ba_no_lines,
+                             auto_lines=not args.ba_forced_lines,
+                             max_correction=args.ba_max_correction,
+                             max_disagree_t=args.ba_line_trust_tol,
+                             max_disagree_r=4.0 * args.ba_line_trust_tol)
     poses = []
     stats = []
     scene_imgs = {}
@@ -209,7 +229,11 @@ def main(argv=None):
     poses_refined = None
     if backend is not None and backend.events:
         poses_refined = backend.apply(poses)
-        print(f"[stvo] BA: {len(backend.events)} window(s) refined")
+        print(f"[stvo] BA: {len(backend.events)} window(s) refined"
+              + (f", {backend.n_lines_rejected} line-rejected"
+                 if backend.n_lines_rejected else "")
+              + (f", {backend.n_skipped} skipped by trust gate"
+                 if backend.n_skipped else ""))
     if args.traj_out:
         from stvo_pl_tpu.utils.metrics import write_tum
         write_tum(args.traj_out, poses)

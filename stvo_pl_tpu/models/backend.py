@@ -38,7 +38,10 @@ class WindowedBA:
     def __init__(self, cam: cam_ops.StereoCamera, cfg: VOConfig,
                  window: int = 4, n_iters: int = 8,
                  force_kf_every: int = 0, multi_anchor: bool = True,
-                 use_lines: bool = True, max_correction: float = 1.0):
+                 use_lines: bool = True, max_correction: float = 1.0,
+                 max_rot_correction: float = 5.0, auto_lines: bool = True,
+                 chi2_tol: float = 1.10, max_disagree_t: float = 0.25,
+                 max_disagree_r: float = 1.0):
         self.cam = cam
         self.cfg = cfg
         self.window = window
@@ -46,13 +49,27 @@ class WindowedBA:
         self.force_kf_every = force_kf_every
         self.multi_anchor = multi_anchor
         self.use_lines = use_lines
-        # per-window trust gate: the largest translation any window may
-        # move a keyframe.  The VO front end drifts ~1% of path, so a
-        # legitimate within-window correction is centimeters; a refinement
-        # asking for more is being dragged by corrupted tracks (the
-        # adversarial exposure-swing scene produces exactly this).  Such
-        # windows are SKIPPED — raw poses kept, chain undisturbed.
+        # automatic per-window line trust (window.refine_window_auto):
+        # solve points-only AND points+lines, accept lines only when the
+        # point-residual chi-square does not degrade — the window-level
+        # isGoodSolution analogue.  auto_lines=False forces the joint
+        # solve unconditionally (pre-round-5 behavior, A/B escape hatch).
+        self.auto_lines = auto_lines
+        self.chi2_tol = chi2_tol
+        self.max_disagree_t = max_disagree_t
+        self.max_disagree_r = max_disagree_r
+        self.n_lines_rejected = 0
+        # per-window trust gate: the largest translation / rotation any
+        # window may move a keyframe.  The VO front end drifts ~1% of
+        # path, so a legitimate within-window correction is centimeters
+        # and fractions of a degree; a refinement asking for more is
+        # being dragged by corrupted tracks (the adversarial
+        # exposure-swing scene produces exactly this).  Such windows are
+        # SKIPPED — raw poses kept, chain undisturbed.  The rotation gate
+        # exists because a rotation-only corruption passes a
+        # translation-only gate yet pollutes the cumulative chain.
         self.max_correction = max_correction
+        self.max_rot_correction = max_rot_correction
         self.n_skipped = 0
         # ring entries: (frame_idx, T_corrected [4,4] np, T_raw, PointSet,
         #                LineSet | None)
@@ -91,18 +108,29 @@ class WindowedBA:
         kfs = [(jnp.asarray(T_in), pts, ls)
                for _, T_in, _, pts, ls in self._ring]
         win = window_mod.stack_keyframes(kfs)
-        Tfw_new, _, costs = window_mod.refine_window(
-            win, self.cam, self.cfg, n_iters=self.n_iters,
-            multi_anchor=self.multi_anchor)
+        if win.lines is not None and self.auto_lines:
+            Tfw_new, _, costs, used_lines = window_mod.refine_window_auto(
+                win, self.cam, self.cfg, n_iters=self.n_iters,
+                multi_anchor=self.multi_anchor, chi2_tol=self.chi2_tol,
+                max_disagree_t=self.max_disagree_t,
+                max_disagree_r=self.max_disagree_r)
+            if not bool(used_lines):
+                self.n_lines_rejected += 1
+        else:
+            Tfw_new, _, costs = window_mod.refine_window(
+                win, self.cam, self.cfg, n_iters=self.n_iters,
+                multi_anchor=self.multi_anchor)
         Tfw_new = np.asarray(Tfw_new, dtype=np.float64)
         idxs = [i for i, *_ in self._ring]
         # trust gate on the WITHIN-WINDOW increment (refined vs the
         # window's own input poses — cumulative chain corrections are
         # excluded); oversized requests mean corrupted tracks
-        inc_t = max(np.linalg.norm(
-            (Tfw_new[k] @ np.linalg.inv(self._ring[k][1]))[:3, 3])
-            for k in range(len(idxs)))
-        if inc_t > self.max_correction:
+        incs = [Tfw_new[k] @ np.linalg.inv(self._ring[k][1])
+                for k in range(len(idxs))]
+        inc_t = max(np.linalg.norm(M[:3, 3]) for M in incs)
+        inc_r = max(np.degrees(np.arccos(np.clip(
+            (np.trace(M[:3, :3]) - 1.0) / 2.0, -1.0, 1.0))) for M in incs)
+        if inc_t > self.max_correction or inc_r > self.max_rot_correction:
             self.n_skipped += 1
             last = self._ring[-1]
             self._ring = [last]

@@ -237,6 +237,20 @@ def _line_system(poses_cw, prob: BAProblem, cam, kernel):
     return Hpp, Hll, U, bp, bl, cost, nobs
 
 
+def point_chi2(poses_cw, prob: BAProblem, cam, kernel="cauchy"):
+    """Robust point-residual chi-square of a window solution.
+
+    The acceptance statistic for the automatic line-trust policy: a joint
+    points+lines solution is only trusted when the POINT residuals it
+    leaves behind are no worse than the points-only solution's — the
+    window-level analogue of the reference's isGoodSolution gate
+    (src/stereoFrameHandler.cpp:292-305).  With the Cauchy kernel each
+    observation contributes w*r^2 = r^2/(1+r^2) <= 1, so the sum is
+    mask-comparable across solutions of the same problem."""
+    _, _, _, _, _, cost, nobs = _point_system(poses_cw, prob, cam, kernel)
+    return cost, nobs
+
+
 def _reduced_system(poses_cw, prob: BAProblem, cam, kernel="cauchy"):
     """Build the Schur-reduced camera system (S [K,6,K,6], b [K,6]) plus the
     per-type landmark blocks needed for back-substitution."""

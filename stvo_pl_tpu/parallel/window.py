@@ -297,6 +297,65 @@ def refine_window(win: KeyframeWindow, cam: cam_ops.StereoCamera,
     return se3.inverse_se3(poses_cw), X, costs
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("cam", "cfg", "n_iters", "multi_anchor",
+                                    "chi2_tol", "max_disagree_t",
+                                    "max_disagree_r"))
+def refine_window_auto(win: KeyframeWindow, cam: cam_ops.StereoCamera,
+                       cfg: VOConfig, n_iters: int = 6,
+                       multi_anchor: bool = True, chi2_tol: float = 1.10,
+                       max_disagree_t: float = 0.25,
+                       max_disagree_r: float = 1.0):
+    """Window refinement with AUTOMATIC per-window line trust.
+
+    Solves BOTH the points-only and the joint points+lines systems (the
+    problem build and the dominant landmark work are shared; the extra
+    solve is cheap) and accepts the joint solution only when it stays
+    consistent with the point evidence — the window-level analogue of
+    isGoodSolution (src/stereoFrameHandler.cpp:292-305):
+
+      * the joint solution's point-residual chi-square may not degrade
+        beyond chi2_tol x the points-only solution's (lines may not buy
+        their own fit by sacrificing the points');
+      * the joint poses may not DISAGREE with the points-only poses by
+        more than max_disagree_t meters / max_disagree_r degrees at any
+        keyframe.  Biased-but-self-consistent line tracks (exposure-swing
+        edge bloom: every edge shifts the same way) drag the joint
+        solution confidently while barely raising the point chi-square —
+        the disagreement gate catches what the residual test cannot.
+
+    Corrupted windows fall back to the points-only solution (NOT skipped:
+    the point refinement is kept), no hand flags.
+
+    Returns (Tfw_refined, X_refined, costs, used_lines: bool scalar)."""
+    build = build_problem_tracks if multi_anchor else build_problem
+    prob = build(win, cam, cfg)
+    poses_cw0 = se3.inverse_se3(win.Tfw)
+    prob_p = prob._replace(Xl=None, obs_l=None, mask_l=None, sigma2_l=None)
+    poses_p, Xp, _, costs_p = ba.ba_solve(poses_cw0, prob_p, cam,
+                                          n_iters=n_iters)
+    if prob.Xl is None:
+        return (se3.inverse_se3(poses_p), Xp, costs_p,
+                jnp.asarray(False))
+    poses_j, Xj, _, costs_j = ba.ba_solve(poses_cw0, prob, cam,
+                                          n_iters=n_iters)
+    chi_p, _ = ba.point_chi2(poses_p, prob_p, cam)
+    chi_j, _ = ba.point_chi2(poses_j, prob_p, cam)
+    # per-keyframe pose disagreement joint vs points-only
+    D = se3.mm(poses_j, se3.inverse_se3(poses_p))        # [K, 4, 4]
+    dis_t = jnp.max(jnp.linalg.norm(D[:, :3, 3], axis=-1))
+    cos_r = jnp.clip((jnp.trace(D[:, :3, :3], axis1=-2, axis2=-1) - 1.0)
+                     / 2.0, -1.0, 1.0)
+    dis_r = jnp.max(jnp.degrees(jnp.arccos(cos_r)))
+    use_lines = ((chi_j <= chi2_tol * chi_p)
+                 & (dis_t <= max_disagree_t)
+                 & (dis_r <= max_disagree_r))
+    poses = jnp.where(use_lines, poses_j, poses_p)
+    X = jnp.where(use_lines, Xj, Xp)
+    costs = jnp.where(use_lines, costs_j, costs_p)
+    return se3.inverse_se3(poses), X, costs, use_lines
+
+
 def make_sharded_window_refiner(mesh, cam: cam_ops.StereoCamera,
                                 cfg: VOConfig, n_iters: int = 6,
                                 multi_anchor: bool = True,

@@ -251,8 +251,13 @@ def render_view(world: World, T_wc: np.ndarray, cam,
     for q in world.quads:
         # z-cull: skip quads fully behind the camera or far beyond the
         # horizon (long worlds carry dozens of occluder boxes; without the
-        # cull the render cost grows linearly with world length)
-        zs = (q.p0[2], q.p0[2] + q.u[2] + q.v[2])
+        # cull the render cost grows linearly with world length).  World-z
+        # is compared against the camera ORIGIN, which assumes a roughly
+        # +z-facing view (true for the street/corridor worlds this module
+        # builds); all four corners are tested so quads whose u/v have
+        # opposite-sign z components cannot be wrongly culled.
+        zs = (q.p0[2], q.p0[2] + q.u[2], q.p0[2] + q.v[2],
+              q.p0[2] + q.u[2] + q.v[2])
         if max(zs) < o[2] + 0.2 or min(zs) > o[2] + 200.0:
             continue
         denom = d_w @ q.n

@@ -27,6 +27,10 @@ done
 
 overall=0
 for g in $(seq 0 $((N_GROUPS - 1))); do
+    # an empty group would invoke pytest with no file args and collect the
+    # WHOLE suite in one process — the ~140-compile segfault mode this
+    # runner exists to avoid
+    if [ -z "${GROUPS_LIST[g]:-}" ]; then continue; fi
     echo "=== suite group $((g + 1))/${N_GROUPS}:${GROUPS_LIST[g]}"
     # shellcheck disable=SC2086
     python -m pytest -q -x ${GROUPS_LIST[g]} "$@"

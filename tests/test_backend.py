@@ -80,3 +80,54 @@ def test_backend_improves_clean_run_too():
     ate_raw = metrics.ate_rmse(raw, gt, align=False)
     ate_ref = metrics.ate_rmse(refined, gt, align=False)
     assert ate_ref < 0.7 * ate_raw, (ate_raw, ate_ref)
+
+
+CFG_PL = CFG.replace(has_lines=True)
+
+
+def run_vo_pl_exposure(n_frames, seed=0, amp=0.35):
+    """Line-bearing run with sinusoidal per-frame exposure swings +
+    saturation clipping — the adversarial regime where biased line
+    observations flip BA from helping to hurting (EVAL.md §3)."""
+    key = jax.random.PRNGKey(seed)
+    scene = synthetic.make_scene(key, n_points=260, n_lines=24,
+                                 extent=(14.0, 8.0, 40.0), z_near=3.0)
+    poses = synthetic.smooth_trajectory(n_frames, speed=0.25, yaw_rate=0.003)
+    seq_l, seq_r = synthetic.render_sequence(scene, poses, CAM)
+    t = jnp.arange(n_frames, dtype=jnp.float32)
+    gain = 1.0 + amp * jnp.sin(t * 1.1)
+    seq_l = jnp.clip(seq_l * gain[:, None, None], 0.0, 255.0)
+    seq_r = jnp.clip(seq_r * gain[:, None, None], 0.0, 255.0)
+
+    def run(auto_lines):
+        state = frontend.init_state(CFG_PL)
+        backend = WindowedBA(CAM, CFG_PL, window=4, force_kf_every=3,
+                             auto_lines=auto_lines)
+        raw = []
+        for i in range(n_frames):
+            state, telem = frontend.vo_step(state, seq_l[i], seq_r[i],
+                                            CAM, CFG_PL)
+            raw.append(np.asarray(telem.Tfw))
+            backend.observe(i, telem.Tfw, i > 0 and bool(telem.is_kf),
+                            state.prev_points, state.prev_lines)
+        return np.stack(raw), backend
+    return np.asarray(poses), run
+
+
+def test_backend_exposure_swing_auto_trust():
+    """Exposure-swing regression (VERDICT round-5 item 2): with DEFAULT
+    flags the auto line-trust policy must keep the refined trajectory at
+    least as good as the forced-joint solve, without any hand flag."""
+    gt, run = run_vo_pl_exposure(14, seed=3)
+    raw_a, backend_a = run(auto_lines=True)
+    assert len(backend_a.events) >= 1
+    ref_a = backend_a.apply(raw_a)
+    raw_f, backend_f = run(auto_lines=False)
+    ref_f = backend_f.apply(raw_f)
+    ate_a = metrics.ate_rmse(ref_a, gt, align=False)
+    ate_f = metrics.ate_rmse(ref_f, gt, align=False)
+    ate_raw = metrics.ate_rmse(raw_a, gt, align=False)
+    # auto must never be dragged below the forced-joint solve, and must
+    # not corrupt the raw trajectory
+    assert ate_a <= ate_f * 1.05, (ate_a, ate_f)
+    assert ate_a <= ate_raw * 1.05, (ate_a, ate_raw)

@@ -241,3 +241,72 @@ def test_window_sharded_with_lines_matches_single():
     r_single, _, _ = win_mod.refine_window(win, CAM, CFG_PL, n_iters=5)
     np.testing.assert_allclose(np.asarray(r_sharded), np.asarray(r_single),
                                rtol=1e-3, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# automatic per-window line trust (round 5)
+# ---------------------------------------------------------------------------
+
+
+def test_refine_window_auto_accepts_clean_lines(rng):
+    """On a clean run the joint solution's point chi-square does not
+    degrade, so the auto policy must keep lines and reproduce the joint
+    refine_window result."""
+    poses, kfs = run_vo_pl(5)
+    win = win_mod.stack_keyframes(kfs)
+    Tfw = np.asarray(win.Tfw).copy()
+    for k in range(1, len(Tfw)):
+        xi = rng.normal(0, 0.05, 6).astype(np.float32)
+        xi[3:] *= 0.3
+        Tfw[k] = Tfw[k] @ np.asarray(se3.expmap_se3(jnp.asarray(xi)))
+    win_pert = win._replace(Tfw=jnp.asarray(Tfw))
+    r_auto, _, _, used = win_mod.refine_window_auto(win_pert, CAM, CFG_PL,
+                                                    n_iters=8)
+    assert bool(used), "clean-scene lines were rejected"
+    r_joint, _, _ = win_mod.refine_window(win_pert, CAM, CFG_PL, n_iters=8)
+    np.testing.assert_allclose(np.asarray(r_auto), np.asarray(r_joint),
+                               rtol=1e-5, atol=1e-6)
+
+
+def _corrupt_lines(win, bias_px=3.0):
+    """Shift every keyframe's observed infinite lines laterally by an
+    alternating per-KF bias (the exposure-bloom failure mode: edges move
+    consistently within a frame).  Point observations stay truthful."""
+    ls = win.lines
+    K = ls.le.shape[0]
+    sign = jnp.asarray([(1.0 if k % 2 == 0 else -1.0) for k in range(K)],
+                       ls.le.dtype)
+    # le = (a, b, c) normalized; adding to c shifts the line by that many px
+    c_shift = sign[:, None] * bias_px
+    le_new = ls.le.at[..., 2].add(c_shift)
+    return win._replace(lines=ls._replace(le=le_new))
+
+
+def test_refine_window_auto_rejects_corrupted_lines():
+    """With systematically biased line observations AND weakened point
+    support (the regime where corrupted lines can actually drag the
+    solution — with full point support they are simply outvoted), the
+    joint solve disagrees with the point consensus and the auto policy
+    must fall back to the points-only solution.  Fixed seed: the
+    corruption's measured pose disagreement (0.295 m vs the 0.25 m gate;
+    clean baseline 0.090 m) is seed-dependent through the perturbation."""
+    rng = np.random.default_rng(0)
+    poses, kfs = run_vo_pl(5)
+    win = _corrupt_lines(win_mod.stack_keyframes(kfs), bias_px=4.0)
+    pts = win.points
+    thin = jnp.asarray(np.arange(pts.valid.shape[1]) < 40)
+    win = win._replace(points=pts._replace(valid=pts.valid & thin[None, :]))
+    Tfw = np.asarray(win.Tfw).copy()
+    for k in range(1, len(Tfw)):
+        xi = rng.normal(0, 0.05, 6).astype(np.float32)
+        xi[3:] *= 0.3
+        Tfw[k] = Tfw[k] @ np.asarray(se3.expmap_se3(jnp.asarray(xi)))
+    win_pert = win._replace(Tfw=jnp.asarray(Tfw))
+    r_auto, _, _, used = win_mod.refine_window_auto(win_pert, CAM, CFG_PL,
+                                                    n_iters=8)
+    assert not bool(used), "corrupted lines were accepted"
+    # must equal the points-only refinement
+    win_np = win_pert._replace(lines=None)
+    r_pts, _, _ = win_mod.refine_window(win_np, CAM, CFG_PL, n_iters=8)
+    np.testing.assert_allclose(np.asarray(r_auto), np.asarray(r_pts),
+                               rtol=1e-5, atol=1e-6)
