@@ -170,9 +170,15 @@ class VOConfig:
     # 1142-1241); the fixed 8-sample grid under-samples long lines on
     # high-resolution frames.  Static shapes don't forbid TWO capacities:
     # the longer half of line_capacity gets lbd_long_samples along-line
-    # samples, the shorter half keeps 8.  Set to 8 to disable bucketing
-    # (single 8-sample pass, pre-round-5 behavior).
-    lbd_long_samples: int = 16
+    # samples, the shorter half keeps 8.  MEASURED round 5
+    # (tools/eval_lbd.py, 2x-resolution photo warps, 16 vs 8): match
+    # precision rot15 0.14 -> 0.22, scale0.8 0.14 -> 0.21, persp
+    # 0.43 -> 0.38, bright 0.71 -> 0.64; TPU bench 313.7 -> 294.2 fps
+    # (-6.2%, bench ATE unchanged 0.028).  The geometric-warp gain does
+    # not cover the fps cost at bench budgets, so the default stays 8
+    # (single-pass); raise to 16 for high-resolution / strong-rotation
+    # sequences where long-line distinctiveness matters.
+    lbd_long_samples: int = 8
     # number of discrete line orientations scanned by the dense detector
     lsd_n_dirs: int = 12
     # sub-pixel point localization (ops/subpix.py): Foerstner/cornerSubPix

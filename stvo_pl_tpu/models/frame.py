@@ -368,21 +368,45 @@ def _lbd_two_bucket(gx: jnp.ndarray, gy: jnp.ndarray,
             .at[li].set(d_long).at[si].set(d_short))
 
 
-def _octave_budgets(cap: int, n_oct: int) -> list[int]:
-    """Per-octave line quotas, geometric with ratio 1/2 (the pyramid's own
-    detail falloff), summing to cap — the line analogue of
-    _per_level_budgets.  A global length-ranked top-k instead lets
-    coarse-octave lines (2x level-0 extent per detected pixel) crowd out
-    fine ones; measured round 4 as a blown 0.26 ATE lane at octaves=2."""
-    weights = [0.5 ** o for o in range(n_oct)]
-    s = sum(weights)
-    budgets = [max(8, int(round(cap * w / s))) for w in weights]
-    budgets[0] += cap - sum(budgets)
-    return budgets
+def _octave_images(im: jnp.ndarray, n_oct: int) -> list[jnp.ndarray]:
+    """Ratio-2 Gaussian pyramid (pyrDown equivalent: AA blur composed into
+    the resize matmul, LSDDetector_custom.cpp:56-73)."""
+    imgs = [im]
+    cur = im
+    for _ in range(1, n_oct):
+        H, W = cur.shape
+        if min(H, W) < 64:
+            break
+        cur = resize_bilinear(cur, H // 2, W // 2, blur_sigma=1.0)
+        imgs.append(cur)
+    return imgs
+
+
+def _octave_layout(shapes: list[tuple], gap: int = 16):
+    """Pack octave regions into one canvas: octave 0 at the top-left, the
+    coarser octaves side by side in a strip below it, every region
+    separated by `gap` zero pixels (wide enough that run thickening,
+    collinear merging with gap_tol <= 8 and the +-2 px refine taps can
+    never bridge two regions).  Returns ((y0, x0, Ho, Wo) per octave,
+    canvas (H, W))."""
+    H0, W0 = shapes[0]
+    regs = [(0, 0, H0, W0)]
+    if len(shapes) > 1:
+        y = H0 + gap
+        x = 0
+        strip_h = shapes[1][0]
+        for (Ho, Wo) in shapes[1:]:
+            regs.append((y, x, Ho, Wo))
+            x += Wo + gap
+        Hc = H0 + gap + strip_h
+        Wc = max(W0, x - gap)
+    else:
+        Hc, Wc = H0, W0
+    return regs, (Hc, Wc)
 
 
 def detect_lines_octaves(im: jnp.ndarray, min_line_length, cfg: VOConfig):
-    """Multi-octave line detection + octave-correct LBD after selection.
+    """One-pass multi-octave line detection + octave-correct LBD.
 
     Rebuilds the vendored library's full multi-octave surface
     (LSDDetectorC::detect with numOctaves > 1: Gaussian pyramid with ratio
@@ -391,115 +415,153 @@ def detect_lines_octaves(im: jnp.ndarray, min_line_length, cfg: VOConfig):
     rescaled to octave 0, :259-308) and LBD consuming each octave's own
     Sobel gradients (binary_descriptor_custom.cpp:689-1024).  The
     reference defers cross-octave de-duplication to OctaveKeyLines inside
-    the LBD stage; the dense analogue here is one pairwise duplicate
-    suppression over the union (longer level-0 extent wins).
+    the LBD stage; the dense analogue is one pairwise duplicate
+    suppression over the union.
 
-    Two TPU-first choices versus the naive formulation (round-5 rework):
-      * lines are SELECTED first (dedup + per-octave quota top-k), and LBD
-        runs ONCE over the cap survivors, gathering from a side-by-side
-        per-octave Sobel atlas indexed by each line's octave
-        (ops/lbd.compute_lbd_atlas) — not per-octave over full capacity
-        before selection (~5 ms/step of duplicated descriptor work);
-      * capacity is split across octaves geometrically (_octave_budgets)
-        instead of one global length-ranked top-k.
+    TPU-first design (round-5 rework): instead of running the whole
+    detection graph per octave (which multiplies the field/kernel/refine/
+    merge cost by the octave count), ALL octave images are packed into ONE
+    canvas (_octave_layout, 16-px guard gaps excluded via the detector's
+    valid_mask) and the dense detector runs ONCE over it:
+
+      * candidate ranking happens in canvas = octave coordinates, so every
+        octave competes by IN-OCTAVE length — the per-octave response
+        normalization that stops coarse lines (2x level-0 extent per
+        detected pixel) from crowding out fine ones;
+      * the LSQ refine, NFA validation and O(K^2) merges stay
+        capacity-sized instead of octave-count-sized;
+      * after mapping back to level-0 coords, one duplicate suppression
+        (ranked by in-octave length, so the fully-detected finer copy of a
+        line outranks its coarser duplicate) unions the octaves;
+      * LBD runs ONCE over the survivors, gathering each line's support
+        region from its own octave's Sobel plane in a same-layout gradient
+        atlas (ops/lbd.compute_lbd_atlas).
 
     Returns (LineSegments in octave-0 coords, octave [K] int32,
     lbd descriptors [K, 8] uint32), K = line_capacity.
     """
     H0, W0 = im.shape
     cap = cfg.line_capacity
-    parts = []
-    octave_imgs = []
-    cur = im
-    for o in range(max(1, cfg.lsd_octaves)):
-        if o > 0:
-            H, W = cur.shape
-            if min(H, W) < 64:
-                break
-            # pyrDown equivalent: antialiasing blur composed into the
-            # resize matmul (ops/image.resize_bilinear)
-            cur = resize_bilinear(cur, H // 2, W // 2, blur_sigma=1.0)
-        octave_imgs.append(cur)
-        segs = detect_lines_scaled(cur, min_line_length, cfg)
-        # exact half-pixel-center map to octave-0 coords (the reference
-        # multiplies by scale^octave; integer halving makes the effective
-        # per-axis factor differ slightly from 2^o)
-        Ho, Wo = cur.shape
-        inv = jnp.asarray([W0 / Wo, H0 / Ho], segs.sp.dtype)
-        lim = jnp.asarray([W0 - 1.0, H0 - 1.0], segs.sp.dtype)
-        to0 = lambda p: jnp.clip((p + 0.5) * inv - 0.5, 0.0, lim)
-        sp0, ep0 = to0(segs.sp), to0(segs.ep)
-        len0 = jnp.linalg.norm(ep0 - sp0, axis=-1)
-        parts.append((sp0, ep0, jnp.where(segs.valid, len0, 0.0),
-                      segs.valid, segs.sp, segs.ep))
-    n_oct = len(parts)
+    dtype = im.dtype
+    imgs = _octave_images(im, max(1, cfg.lsd_octaves))
+    n_oct = len(imgs)
+    regs, (Hc, Wc) = _octave_layout([i.shape for i in imgs])
 
-    sp = jnp.concatenate([p[0] for p in parts])
-    ep = jnp.concatenate([p[1] for p in parts])
-    length = jnp.concatenate([p[2] for p in parts])
-    valid = jnp.concatenate([p[3] for p in parts])
+    import numpy as _np
+    canvas = jnp.zeros((Hc, Wc), dtype)
+    interior = _np.zeros((Hc, Wc), bool)
+    for (y0, x0, Ho, Wo), img_o in zip(regs, imgs):
+        canvas = canvas.at[y0:y0 + Ho, x0:x0 + Wo].set(img_o)
+        # shrink each region by 2 px: the zero gap means the 2x2 level-line
+        # field sees a spurious strong edge along every region border
+        interior[y0 + 2:y0 + Ho - 2, x0 + 2:x0 + Wo - 2] = True
+
+    segs, ang_c, mag_c = lsd.detect_line_segments(
+        canvas, min_line_length, capacity=cap,
+        n_dirs=cfg.lsd_n_dirs, ang_th_deg=cfg.lsd_ang_th,
+        quant=cfg.lsd_quant, density_th=cfg.lsd_density_th,
+        refine=not cfg.use_fld_lines,
+        log_eps=(cfg.lsd_log_eps if cfg.lsd_refine >= 2 else 0.0),
+        valid_mask=jnp.asarray(interior), with_field=True)
+
+    # region -> octave attribution by midpoint, then region-local coords
+    y0s = jnp.asarray([r[0] for r in regs], jnp.int32)
+    x0s = jnp.asarray([r[1] for r in regs], jnp.int32)
+    Hos = jnp.asarray([r[2] for r in regs], jnp.int32)
+    Wos = jnp.asarray([r[3] for r in regs], jnp.int32)
+    mid = 0.5 * (segs.sp + segs.ep)
+    octv = jnp.zeros((cap,), jnp.int32)
+    in_any = jnp.zeros((cap,), bool)
+    for o, (y0, x0, Ho, Wo) in enumerate(regs):
+        inside = ((mid[:, 1] >= y0) & (mid[:, 1] < y0 + Ho)
+                  & (mid[:, 0] >= x0) & (mid[:, 0] < x0 + Wo))
+        octv = jnp.where(inside, o, octv)
+        in_any = in_any | inside
+    off = jnp.stack([x0s, y0s], axis=-1).astype(dtype)[octv]     # [K, 2]
+    ext = jnp.stack([Wos, Hos], axis=-1).astype(dtype)[octv]
+    clip_oct = lambda p: jnp.clip(p - off, 0.0, ext - 1.0)
+    sp_oct = clip_oct(segs.sp)
+    ep_oct = clip_oct(segs.ep)
+    len_oct = jnp.linalg.norm(ep_oct - sp_oct, axis=-1)
+
+    # exact half-pixel-center map to octave-0 coords (the reference
+    # multiplies by scale^octave; integer halving makes the effective
+    # per-axis factor differ slightly from 2^o)
+    inv = (jnp.asarray([W0, H0], dtype)[None, :] / ext)
+    lim = jnp.asarray([W0 - 1.0, H0 - 1.0], dtype)
+    to0 = lambda p: jnp.clip((p + 0.5) * inv - 0.5, 0.0, lim)
+    sp0, ep0 = to0(sp_oct), to0(ep_oct)
+    v = segs.valid & in_any
 
     if n_oct > 1:
-        # the same physical line detected at 2+ octaves: keep the longer
-        # level-0 extent (ties to the finer octave via index order)
-        valid = lsd._suppress_duplicates(sp, ep, length, valid,
-                                         perp_tol=3.0, overlap_tol=0.5)
+        # LEVEL-0 precision pass for the coarse-octave survivors: a coarse
+        # detection carries up to +-2^o px of level-0 position noise — the
+        # round-5 per-octave bench showed this as elevated ATE lanes.  The
+        # coarse lines (a minority of the capacity) are compacted to
+        # cap//2 slots and re-refined by the SAME weighted-LSQ fit against
+        # the canvas field's octave-0 region (== the level-0 field, no
+        # recompute), with a widened +-3 px search for the mapped-back
+        # position error.
+        import math as _math
+        tol = _math.radians(cfg.lsd_ang_th)
+        coarse_score = jnp.where(v & (octv > 0), len_oct, -1.0)
+        ncoarse = max(cap // 2, 1)
+        csel, ci = jax.lax.top_k(coarse_score, ncoarse)
+        do_ref = csel > 0
+        sp_c, ep_c = sp0[ci], ep0[ci]
+        ang0 = ang_c[:H0, :W0]
+        mag0 = mag_c[:H0, :W0]
+        sp_r, ep_r, _, _, _ = lsd._refine_segments(
+            ang0, mag0, sp_c[:, 0], sp_c[:, 1], ep_c[:, 0], ep_c[:, 1],
+            do_ref, tol, n_samples=16, search=3)
+        upd = do_ref[:, None]
+        sp0 = sp0.at[ci].set(jnp.where(upd, jnp.clip(sp_r, 0.0, lim), sp_c))
+        ep0 = ep0.at[ci].set(jnp.where(upd, jnp.clip(ep_r, 0.0, lim), ep_c))
+        # refined coarse endpoints feed the LBD in octave coords too
+        from_0 = lambda p: jnp.clip((p + 0.5) / inv - 0.5, 0.0, ext - 1.0)
+        sp_oct = from_0(sp0)
+        ep_oct = from_0(ep0)
 
-    # per-octave quota top-k (parts are contiguous cap-sized slices)
-    budgets = _octave_budgets(cap, n_oct)
-    sel_chunks = []
-    for o in range(n_oct):
-        lo = o * cap
-        resp_o = jnp.where(valid[lo:lo + cap], length[lo:lo + cap], 0.0)
-        top_o, pos_o = jax.lax.top_k(resp_o, min(budgets[o], cap))
-        sel_chunks.append((top_o, pos_o + lo, jnp.full_like(pos_o, o)))
-    resp = jnp.concatenate([c[0] for c in sel_chunks])
-    pos = jnp.concatenate([c[1] for c in sel_chunks])
-    octv = jnp.concatenate([c[2] for c in sel_chunks])
-    take = lambda a: jnp.take(a, pos, axis=0)
-    sp, ep, length = take(sp), take(ep), take(length)
-    sp_oct = jnp.concatenate([p[4] for p in parts])[pos]
-    ep_oct = jnp.concatenate([p[5] for p in parts])[pos]
-    v = resp > 0
+        # the same physical line detected at 2+ octaves: ranked by
+        # IN-OCTAVE length, so a fully-detected fine copy (2x the pixels)
+        # beats its coarse duplicate, while a coarse line that the fine
+        # octave only found fragments of survives on coverage
+        v = lsd._suppress_duplicates(sp0, ep0,
+                                     jnp.where(v, len_oct, 0.0), v,
+                                     perp_tol=3.0, overlap_tol=0.5)
 
-    # LBD once over the survivors: side-by-side per-octave Sobel atlas,
-    # each line sampling its OWN octave's gradients in octave coords
-    atlas_parts, x_offs, x_his, y_his = [], [], [], []
-    col = 0
-    for img_o in octave_imgs:
+    # LBD once over the survivors: same-layout Sobel atlas, each line
+    # sampling its OWN octave plane in octave coords (taps clip to the
+    # region BEFORE the offset, so support regions never cross the gaps)
+    g2 = jnp.zeros((Hc, Wc, 2), dtype)
+    for (y0, x0, Ho, Wo), img_o in zip(regs, imgs):
         gx, gy = sobel(img_o)
-        g2 = jnp.stack([gx, gy], axis=-1)
-        Ho, Wo = img_o.shape
-        atlas_parts.append(jnp.pad(g2, ((0, H0 - Ho), (0, 0), (0, 0))))
-        x_offs.append(col)
-        x_his.append(Wo - 1)
-        y_his.append(Ho - 1)
-        col += Wo
-    atlas = jnp.concatenate(atlas_parts, axis=1)     # [H0, sum Wo, 2]
-    x_off = jnp.asarray(x_offs, jnp.int32)[octv]
-    x_hi = jnp.asarray(x_his, jnp.int32)[octv]
-    y_hi = jnp.asarray(y_his, jnp.int32)[octv]
+        g2 = g2.at[y0:y0 + Ho, x0:x0 + Wo].set(jnp.stack([gx, gy], -1))
+    x_off = x0s[octv]
+    y_off = y0s[octv]
+    x_hi = (Wos - 1)[octv]
+    y_hi = (Hos - 1)[octv]
     if cfg.lbd_long_samples > lbd.N_SAMPLES:
-        # two-bucket length-adaptive sampling (octave-coord lengths: the
-        # taps live in octave coordinates)
-        len_oct = jnp.linalg.norm(ep_oct - sp_oct, axis=-1)
         li, si = _length_buckets(len_oct, v, cap)
         _, d_long = lbd.compute_lbd_atlas(
-            atlas, sp_oct[li], ep_oct[li], x_off[li], x_hi[li], y_hi[li],
-            n_samples=cfg.lbd_long_samples)
+            g2, sp_oct[li], ep_oct[li], x_off[li], y_off[li], x_hi[li],
+            y_hi[li], n_samples=cfg.lbd_long_samples)
         _, d_short = lbd.compute_lbd_atlas(
-            atlas, sp_oct[si], ep_oct[si], x_off[si], x_hi[si], y_hi[si])
+            g2, sp_oct[si], ep_oct[si], x_off[si], y_off[si], x_hi[si],
+            y_hi[si])
         desc = (jnp.zeros((cap, 8), jnp.uint32)
                 .at[li].set(d_long).at[si].set(d_short))
     else:
-        _, desc = lbd.compute_lbd_atlas(atlas, sp_oct, ep_oct, x_off, x_hi,
-                                        y_hi)
+        _, desc = lbd.compute_lbd_atlas(g2, sp_oct, ep_oct, x_off, y_off,
+                                        x_hi, y_hi)
 
-    dvec = ep - sp
+    dvec = ep0 - sp0
+    len0 = jnp.linalg.norm(dvec, axis=-1)
     segs_out = lsd.LineSegments(
-        sp=sp, ep=ep,
+        sp=sp0, ep=ep0,
         angle=jnp.arctan2(dvec[:, 1], dvec[:, 0]),
-        length=length, resp=resp, valid=v)
+        length=jnp.where(v, len0, 0.0),
+        resp=jnp.where(v, len_oct, 0.0), valid=v)
     return segs_out, octv, desc
 
 

@@ -141,28 +141,32 @@ def compute_lbd(gx: jnp.ndarray, gy: jnp.ndarray, sp: jnp.ndarray,
 
 @functools.partial(jax.jit, static_argnames=("n_samples",))
 def compute_lbd_atlas(g2: jnp.ndarray, sp: jnp.ndarray, ep: jnp.ndarray,
-                      x_off: jnp.ndarray, x_hi: jnp.ndarray,
-                      y_hi: jnp.ndarray, n_samples: int = N_SAMPLES):
-    """LBD from a side-by-side multi-octave gradient atlas.
+                      x_off: jnp.ndarray, y_off: jnp.ndarray,
+                      x_hi: jnp.ndarray, y_hi: jnp.ndarray,
+                      n_samples: int = N_SAMPLES):
+    """LBD from a packed multi-octave gradient atlas.
 
     The reference computes LBD from each octave's OWN Sobel gradients
     (binary_descriptor_custom.cpp:689-1024): a line detected at octave o
     samples its 63-px support region in octave-o coordinates.  Here all
-    octave gradient planes live in ONE [H0, sum(W_o), 2] atlas (each octave
-    top-aligned at column offset x_off[o]) so a single channel-paired
+    octave gradient planes live in ONE [H, W, 2] atlas (each octave's
+    region placed at (y_off[o], x_off[o])) so a single channel-paired
     gather serves every selected line regardless of its octave — the
     per-octave full-capacity LBD of the naive formulation is replaced by
     one capacity-sized pass after cross-octave selection.
 
-    g2: [H, W_total, 2] atlas of (gx, gy).  sp, ep: [K, 2] endpoints in
-    EACH LINE'S OWN octave coordinates.  x_off, x_hi, y_hi: [K] int32
-    per-line column offset and inclusive clip bounds of that octave's
-    plane.  Returns (desc_f [K, 72], desc_b [K, 8] uint32).
+    g2: [H, W, 2] atlas of (gx, gy).  sp, ep: [K, 2] endpoints in EACH
+    LINE'S OWN octave coordinates.  x_off, y_off, x_hi, y_hi: [K] int32
+    per-line region offset and inclusive region-local clip bounds (taps
+    are clipped to the line's own octave plane BEFORE the offset, so the
+    support region never reads a neighboring region through the atlas).
+    Returns (desc_f [K, 72], desc_b [K, 8] uint32).
     """
     px, py, dl, do = _tap_grid(sp, ep, n_samples)
     xi = (jnp.clip(jnp.round(px).astype(jnp.int32), 0, x_hi[:, None, None])
           + x_off[:, None, None])
-    yi = jnp.clip(jnp.round(py).astype(jnp.int32), 0, y_hi[:, None, None])
+    yi = (jnp.clip(jnp.round(py).astype(jnp.int32), 0, y_hi[:, None, None])
+          + y_off[:, None, None])
     sg = g2[yi, xi]                                 # [K, S, R, 2]
     return _lbd_from_taps(sg, dl, do)
 

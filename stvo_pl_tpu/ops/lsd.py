@@ -433,7 +433,8 @@ def _suppress_duplicates(sp, ep, resp, valid, perp_tol: float,
 
 @functools.partial(jax.jit, static_argnames=(
     "capacity", "n_dirs", "k_per_dir", "ang_th_deg", "quant", "density_th",
-    "sigma", "refine", "log_eps", "refine_samples", "refine_search"))
+    "sigma", "refine", "log_eps", "refine_samples", "refine_search",
+    "with_field"))
 def detect_line_segments(
     img: jnp.ndarray,
     min_length: float,
@@ -448,6 +449,8 @@ def detect_line_segments(
     log_eps: float = -1.0,
     refine_samples: int = 16,
     refine_search: int = 2,
+    valid_mask: jnp.ndarray | None = None,
+    with_field: bool = False,
 ) -> LineSegments:
     """Full dense line-segment detection on one grayscale image [H, W].
 
@@ -459,6 +462,16 @@ def detect_line_segments(
     EDLine LineValidation_): keep a segment iff -log10(NFA) >= log_eps.
     The default -1 disables it, matching lsd_refine = 0 (src/config.cpp:105)
     where OpenCV ignores log_eps.
+
+    valid_mask (optional [H, W] bool) restricts detection to True pixels —
+    used by the one-pass multi-octave atlas (models/frame.py
+    detect_lines_octaves) to exclude the guard gaps and region borders of
+    the composed canvas.
+
+    with_field=True additionally returns the (ang, mag) level-line field
+    of the smoothed input, so callers can re-refine mapped-back segments
+    against it without recomputing the blur (the octave path's level-0
+    precision pass).
     """
     H, W = img.shape
     tol = math.radians(ang_th_deg)
@@ -466,6 +479,8 @@ def detect_line_segments(
 
     smoothed = gaussian_blur(img, sigma)
     ang, mag = level_line_field(smoothed)
+    if valid_mask is not None:
+        mag = jnp.where(valid_mask, mag, 0.0)
 
     if n_dirs >= len(DIR_STEPS):
         steps = DIR_STEPS
@@ -566,10 +581,13 @@ def detect_line_segments(
     take = lambda a: jnp.take(a, pos, axis=0)
     sp_o, ep_o = take(sp), take(ep)
     dvec = ep_o - sp_o
-    return LineSegments(
+    segs = LineSegments(
         sp=sp_o, ep=ep_o,
         angle=jnp.arctan2(dvec[:, 1], dvec[:, 0]),
         length=take(length),
         resp=top,
         valid=top > 0,
     )
+    if with_field:
+        return segs, ang, mag
+    return segs

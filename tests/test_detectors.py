@@ -397,35 +397,46 @@ def test_lbd_atlas_matches_plain_lbd(rng):
     K = sp.shape[0]
     zeros = jnp.zeros((K,), jnp.int32)
     _, d_atlas = lbd.compute_lbd_atlas(
-        g2, sp, ep, zeros, jnp.full((K,), 160 - 1, jnp.int32),
+        g2, sp, ep, zeros, zeros, jnp.full((K,), 160 - 1, jnp.int32),
         jnp.full((K,), 120 - 1, jnp.int32))
     np.testing.assert_array_equal(np.asarray(d_plain), np.asarray(d_atlas))
 
 
-def test_multi_octave_quotas_and_octave_descriptors():
-    """detect_lines_octaves must (a) respect per-octave capacity quotas —
-    coarse octaves may not crowd out fine ones — and (b) produce non-zero
-    descriptors for lines of EVERY octave (the atlas gather reaches each
-    octave's own Sobel plane)."""
+def test_multi_octave_atlas_detection():
+    """One-pass atlas detect_lines_octaves: (a) solid strokes survive from
+    the FINE octave (dedup kills their coarser duplicates — in-octave
+    length ranking), (b) a dashed line only the AA half-res octave sees as
+    continuous is recovered as one long coarse-octave segment, (c) level-0
+    endpoints stay inside the source image, and (d) every valid line gets
+    a non-zero descriptor from its own octave's Sobel plane."""
     from stvo_pl_tpu.config import VOConfig
     from stvo_pl_tpu.models import frame as frame_mod
 
-    # long high-contrast strokes at several scales
     img = np.full((180, 240), 40.0, np.float32)
-    for y in (30, 60, 90, 120, 150):
-        img[y:y + 2, 20:220] = 220.0
-    for x in (40, 120, 200):
+    for y in (30, 60, 150):
+        img[y:y + 2, 20:220] = 220.0          # solid strokes: octave 0
+    for x in (40, 200):
         img[20:160, x:x + 2] = 220.0
+    for x0 in range(20, 216, 11):
+        img[100:102, x0:x0 + 8] = 220.0       # dashed: continuous at oct 1
     cfg = VOConfig(lsd_nfeatures=32, lsd_n_dirs=8, lsd_octaves=2)
     segs, octv, desc = frame_mod.detect_lines_octaves(
         jnp.asarray(img), 0.025 * 180, cfg)
     v = np.asarray(segs.valid)
     o = np.asarray(octv)
+    sp = np.asarray(segs.sp)
+    ep = np.asarray(segs.ep)
     assert v.sum() > 4, v.sum()
-    budgets = frame_mod._octave_budgets(32, 2)
-    for oc in range(2):
-        assert (v & (o == oc)).sum() <= budgets[oc], (oc, budgets)
-    # both octaves detect these long strokes; each contributes lines
-    assert (v & (o == 0)).sum() > 0 and (v & (o == 1)).sum() > 0, o[v]
+    assert (v & (o == 0)).sum() > 0, "no fine-octave lines"
+    # the dashed row must be recovered as a LONG segment near y=100, and
+    # only the coarse octave can see it whole
+    near_dash = v & (np.abs(sp[:, 1] - 100.5) < 4) \
+        & (np.abs(ep[:, 1] - 100.5) < 4)
+    dash_len = np.linalg.norm((ep - sp)[near_dash], axis=-1)
+    assert near_dash.any() and dash_len.max() > 100, dash_len
+    assert (o[near_dash][dash_len > 100] >= 1).all(), o[near_dash]
+    for p in (sp[v], ep[v]):
+        assert (p[:, 0] >= 0).all() and (p[:, 0] <= 239).all()
+        assert (p[:, 1] >= 0).all() and (p[:, 1] <= 179).all()
     d = np.asarray(desc)[v]
     assert (d.sum(axis=1) != 0).all(), "zero descriptor for a valid line"

@@ -133,6 +133,20 @@ def detect_lines_ours(img):
     return np.asarray(segs.sp)[v], np.asarray(segs.ep)[v]
 
 
+def detect_lines_octaves3(img):
+    """The lsd_octaves=3 one-pass atlas mode (models/frame.py
+    detect_lines_octaves, round-5 rework)."""
+    import jax.numpy as jnp
+    from stvo_pl_tpu.config import VOConfig
+    from stvo_pl_tpu.models.frame import detect_lines_octaves
+    cfg = VOConfig(lsd_nfeatures=128, lsd_octaves=3)
+    segs, _, _ = detect_lines_octaves(jnp.asarray(img, jnp.float32),
+                                      jnp.float32(0.04 * min(img.shape)),
+                                      cfg)
+    v = np.asarray(segs.valid)
+    return np.asarray(segs.sp)[v], np.asarray(segs.ep)[v]
+
+
 def detect_lines_edline(img):
     import jax.numpy as jnp
     from stvo_pl_tpu.ops import edline
@@ -209,7 +223,8 @@ def main():
     results = {"points": {}, "lines": {}}
     for wname in ["rot15", "scale0.8", "persp", "bright"]:
         agg = {"ours": [0, 0], "cv2": [0, 0]}
-        lrep = {"ours": [], "edline": [], "edline2": [], "cv2": []}
+        lrep = {"ours": [], "octaves3": [], "edline": [], "edline2": [],
+                "cv2": []}
         for ph in photos:
             Hh = warps(*ph.shape)[wname]
             if wname in PHOTOMETRIC:
@@ -222,6 +237,7 @@ def main():
                 agg[k][0] += nm
                 agg[k][1] += nc
             for k, det in {"ours": detect_lines_ours,
+                           "octaves3": detect_lines_octaves3,
                            "edline": detect_lines_edline,
                            "edline2": detect_lines_edline2,
                            "cv2": lambda im: detect_lines_cv2(cv2, im)}.items():

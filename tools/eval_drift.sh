@@ -26,12 +26,17 @@ for scene in $SCENES; do
         JAX_PLATFORMS=cpu python tools/export_scene.py "$d" \
             --frames "$FRAMES" --scene "$scene" || exit 1
     fi
-    for mode in plain ba ba_nolines; do
+    MODES=${DRIFT_MODES:-"plain ba ba_nolines"}
+    for mode in $MODES; do
         log="$OUT/${scene}_${FRAMES}_${mode}.log"
         case $mode in
             plain)      flags="" ;;
             ba)         flags="--ba-window 4 --ba-kf-every 10" ;;
             ba_nolines) flags="--ba-window 4 --ba-kf-every 10 --ba-no-lines" ;;
+            ba_forced)  flags="--ba-window 4 --ba-kf-every 10 --ba-forced-lines" ;;
+            ba_entropy) flags="--ba-window 4" ;;   # needNewKF-driven keyframes
+            ba_k8)      flags="--ba-window 8 --ba-kf-every 10" ;;
+            ba_k16)     flags="--ba-window 16 --ba-kf-every 10" ;;
         esac
         echo "=== $scene $mode -> $log"
         # shellcheck disable=SC2086
