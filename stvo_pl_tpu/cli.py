@@ -229,11 +229,18 @@ def main(argv=None):
     poses_refined = None
     if backend is not None and backend.events:
         poses_refined = backend.apply(poses)
+        t_ba = backend.refine_times
+        timing = ""
+        if t_ba:
+            steady = (f", steady {np.median(t_ba[1:]):.2f}s/window"
+                      if len(t_ba) > 1 else "")
+            timing = f" (compile+first {t_ba[0]:.1f}s{steady})"
         print(f"[stvo] BA: {len(backend.events)} window(s) refined"
               + (f", {backend.n_lines_rejected} line-rejected"
                  if backend.n_lines_rejected else "")
               + (f", {backend.n_skipped} skipped by trust gate"
-                 if backend.n_skipped else ""))
+                 if backend.n_skipped else "")
+              + timing)
     if args.traj_out:
         from stvo_pl_tpu.utils.metrics import write_tum
         write_tum(args.traj_out, poses)

@@ -71,6 +71,8 @@ class WindowedBA:
         self.max_correction = max_correction
         self.max_rot_correction = max_rot_correction
         self.n_skipped = 0
+        # wall-clock seconds per _refine call; [0] includes the jit compile
+        self.refine_times: list[float] = []
         # ring entries: (frame_idx, T_corrected [4,4] np, T_raw, PointSet,
         #                LineSet | None)
         self._ring: list[tuple] = []
@@ -105,6 +107,8 @@ class WindowedBA:
         return None
 
     def _refine(self):
+        import time
+        t0 = time.perf_counter()
         kfs = [(jnp.asarray(T_in), pts, ls)
                for _, T_in, _, pts, ls in self._ring]
         win = window_mod.stack_keyframes(kfs)
@@ -121,6 +125,7 @@ class WindowedBA:
                 win, self.cam, self.cfg, n_iters=self.n_iters,
                 multi_anchor=self.multi_anchor)
         Tfw_new = np.asarray(Tfw_new, dtype=np.float64)
+        self.refine_times.append(time.perf_counter() - t0)
         idxs = [i for i, *_ in self._ring]
         # trust gate on the WITHIN-WINDOW increment (refined vs the
         # window's own input poses — cumulative chain corrections are

@@ -187,16 +187,24 @@ def keyframe_update(state: VOState, est: optimizer.PoseEstimate,
                   _ENTROPY_CONST + 0.5 * logdet_dt, -1e9),
         state.entropy_first_prevKF).astype(dtype)
 
-    # geometric distance from previous KF (:1156-1159)
+    # geometric distance from previous KF (:1156-1159).  The reference
+    # resets curr_frame->Tfw to identity at every KF (currFrameIsKF,
+    # :1210-1213) so its Tfw is KF-RELATIVE and T_prevKF stays identity;
+    # this frontend keeps GLOBAL poses, so T_prevKF stores the KF's global
+    # pose and the same formula measures motion since that KF.  (The
+    # pre-round-5 code stored identity here, which made t the distance
+    # from the ORIGIN — max_kf_t_dist then fired on every frame once the
+    # path exceeded 5 m, collapsing the entropy policy to KF-every-frame.)
     DTkf = se3.mm(se3.inverse_se3(Tfw_curr), state.T_prevKF)
     dX = se3.logmap_se3(DTkf)
     t = jnp.linalg.norm(dX[:3])
     r = jnp.linalg.norm(dX[3:]) * (180.0 / math.pi)
 
-    # accumulated covariance (:1162-1165)
-    adj = se3.adjoint_se3(state.T_prevKF)
+    # accumulated covariance (:1162-1165).  The reference conjugates by
+    # Adj(T_prevKF) with T_prevKF identically I (assigned only from the
+    # just-reset Tfw, :1213) — i.e. raw summation; mirrored exactly.
     covDTinv = se3.uncTinv_se3(est.DT, est.DT_cov)
-    cov_acc = state.cov_prevKF_currF + se3.mm(se3.mm(adj, covDTinv), adj.T)
+    cov_acc = state.cov_prevKF_currF + covDTinv
     entropy_curr = _ENTROPY_CONST + 0.5 * linalg.logdet6(cov_acc)
     entropy_ratio = entropy_curr / entropy_first
 
@@ -207,7 +215,7 @@ def keyframe_update(state: VOState, est: optimizer.PoseEstimate,
              | (state.N_prevKF_currF > 10))
 
     # currFrameIsKF resets (:1189-1218) vs no-KF accumulation (:1184)
-    T_prevKF = jnp.where(is_kf, jnp.eye(4, dtype=dtype), state.T_prevKF)
+    T_prevKF = jnp.where(is_kf, Tfw_curr, state.T_prevKF)
     cov_next = jnp.where(is_kf, jnp.zeros((6, 6), dtype), cov_acc)
     n_next = jnp.where(is_kf, 0, state.N_prevKF_currF + 1).astype(jnp.int32)
     return is_kf, T_prevKF, cov_next, entropy_first, n_next, entropy_ratio

@@ -131,3 +131,38 @@ def test_backend_exposure_swing_auto_trust():
     # not corrupt the raw trajectory
     assert ate_a <= ate_f * 1.05, (ate_a, ate_f)
     assert ate_a <= ate_raw * 1.05, (ate_a, ate_raw)
+
+
+def test_entropy_keyframes_drive_ba():
+    """Entropy-policy keyframes (no forced cadence) must fire at a sane
+    rate and feed the BA backend (VERDICT round-5 item 6 CPU gate; also
+    regression-guards the round-5 T_prevKF fix — the pre-fix code measured
+    KF distance from the ORIGIN, so max_kf_t_dist fired every frame once
+    the path passed 5 m)."""
+    key = jax.random.PRNGKey(0)
+    from stvo_pl_tpu.utils import synthetic as synth
+    scene = synth.make_scene(key, n_points=260, n_lines=24,
+                             extent=(14.0, 8.0, 40.0), z_near=3.0)
+    poses = synth.smooth_trajectory(30, speed=0.25, yaw_rate=0.003)
+    seq_l, seq_r = synth.render_sequence(scene, poses, CAM)
+    state = frontend.init_state(CFG)
+    backend = WindowedBA(CAM, CFG, window=4)   # force_kf_every=0: entropy
+    raw = []
+    kf_frames = []
+    for i in range(30):
+        state, telem = frontend.vo_step(state, seq_l[i], seq_r[i], CAM, CFG)
+        raw.append(np.asarray(telem.Tfw))
+        is_kf = i > 0 and bool(telem.is_kf)
+        if is_kf:
+            kf_frames.append(i)
+        backend.observe(i, telem.Tfw, is_kf, state.prev_points)
+    # sane cadence: neither every frame (the origin-distance bug) nor
+    # starved (measured: every ~3 frames on this scene)
+    assert 4 <= len(kf_frames) <= 15, kf_frames
+    assert min(np.diff(kf_frames)) >= 2, kf_frames
+    assert len(backend.events) >= 1
+    refined = backend.apply(np.stack(raw))
+    gt = np.asarray(poses)
+    ate_raw = metrics.ate_rmse(np.stack(raw), gt, align=False)
+    ate_ref = metrics.ate_rmse(refined, gt, align=False)
+    assert ate_ref <= ate_raw * 1.05, (ate_raw, ate_ref)
