@@ -456,8 +456,16 @@ def detect_lines_octaves(im: jnp.ndarray, min_line_length, cfg: VOConfig):
         # field sees a spurious strong edge along every region border
         interior[y0 + 2:y0 + Ho - 2, x0 + 2:x0 + Wo - 2] = True
 
+    # the canvas detector's in-octave length ranking under-serves long
+    # coarse lines at tight capacity; an OVERSIZED detection pool
+    # (1.5x cap through refine + validation) with the final capacity
+    # selected by LEVEL-0 length after dedup is what recovers them.
+    # Stamps head-to-head: cap-sized pool 0.0458, cap-sized pool with
+    # level-0-fair membership ranking 0.0453 (not the lever), 1.5x pool
+    # 0.0384 (vs reference 0.0417).
+    det_cap = cap + cap // 2 if n_oct > 1 else cap
     segs, ang_c, mag_c = lsd.detect_line_segments(
-        canvas, min_line_length, capacity=cap,
+        canvas, min_line_length, capacity=det_cap,
         n_dirs=cfg.lsd_n_dirs, ang_th_deg=cfg.lsd_ang_th,
         quant=cfg.lsd_quant, density_th=cfg.lsd_density_th,
         refine=not cfg.use_fld_lines,
@@ -470,8 +478,8 @@ def detect_lines_octaves(im: jnp.ndarray, min_line_length, cfg: VOConfig):
     Hos = jnp.asarray([r[2] for r in regs], jnp.int32)
     Wos = jnp.asarray([r[3] for r in regs], jnp.int32)
     mid = 0.5 * (segs.sp + segs.ep)
-    octv = jnp.zeros((cap,), jnp.int32)
-    in_any = jnp.zeros((cap,), bool)
+    octv = jnp.zeros((det_cap,), jnp.int32)
+    in_any = jnp.zeros((det_cap,), bool)
     for o, (y0, x0, Ho, Wo) in enumerate(regs):
         inside = ((mid[:, 1] >= y0) & (mid[:, 1] < y0 + Ho)
                   & (mid[:, 0] >= x0) & (mid[:, 0] < x0 + Wo))
@@ -504,6 +512,7 @@ def detect_lines_octaves(im: jnp.ndarray, min_line_length, cfg: VOConfig):
         # position error.
         import math as _math
         tol = _math.radians(cfg.lsd_ang_th)
+
         coarse_score = jnp.where(v & (octv > 0), len_oct, -1.0)
         ncoarse = max(cap // 2, 1)
         csel, ci = jax.lax.top_k(coarse_score, ncoarse)
@@ -522,13 +531,28 @@ def detect_lines_octaves(im: jnp.ndarray, min_line_length, cfg: VOConfig):
         sp_oct = from_0(sp0)
         ep_oct = from_0(ep0)
 
-        # the same physical line detected at 2+ octaves: ranked by
-        # IN-OCTAVE length, so a fully-detected fine copy (2x the pixels)
-        # beats its coarse duplicate, while a coarse line that the fine
-        # octave only found fragments of survives on coverage
+        # the same physical line detected at 2+ octaves: keep the copy
+        # with the longer LEVEL-0 extent (coverage wins — the coarse
+        # octave sees long off-bin lines whole where the fine octave only
+        # fragments them; with the level-0 precision refine above, the
+        # coarse copy no longer pays a position penalty).  Membership in
+        # the capacity was already decided by IN-OCTAVE ranking inside
+        # the canvas detector, so this preference cannot crowd fine lines
+        # out — it only picks which duplicate of one physical line lives.
+        len0_d = jnp.linalg.norm(ep0 - sp0, axis=-1)
         v = lsd._suppress_duplicates(sp0, ep0,
-                                     jnp.where(v, len_oct, 0.0), v,
+                                     jnp.where(v, len0_d, 0.0), v,
                                      perp_tol=3.0, overlap_tol=0.5)
+
+    if det_cap != cap:
+        # final capacity: best cap lines by LEVEL-0 length after dedup
+        resp_sel = jnp.where(v, jnp.linalg.norm(ep0 - sp0, axis=-1), 0.0)
+        _, psel = jax.lax.top_k(resp_sel, cap)
+        takes = lambda a: jnp.take(a, psel, axis=0)
+        sp0, ep0, sp_oct, ep_oct = (takes(sp0), takes(ep0), takes(sp_oct),
+                                    takes(ep_oct))
+        octv, len_oct = takes(octv), takes(len_oct)
+        v = resp_sel[psel] > 0
 
     # LBD once over the survivors: same-layout Sobel atlas, each line
     # sampling its OWN octave plane in octave coords (taps clip to the
