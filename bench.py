@@ -68,6 +68,16 @@ def main():
     elif variant == "octaves3":
         cfg = cfg.replace(lsd_octaves=3)
         cfg_label += " + 3-octave LSD"
+    elif variant.startswith("octexp:"):
+        # perf-experiment grid: octexp:<pool>:<l0_samples>:<n_dirs>[:<rpool>]
+        parts = variant.split(":")[1:]
+        pool, l0s, nd = parts[:3]
+        rpool = float(parts[3]) if len(parts) > 3 else 0.0
+        cfg = cfg.replace(lsd_octaves=3, lsd_oct_pool=float(pool),
+                          lsd_oct_l0_samples=int(l0s), lsd_n_dirs=int(nd),
+                          lsd_oct_pool_right=rpool)
+        cfg_label += (f" + 3-octave LSD (pool {pool}, l0s {l0s}, dirs {nd}"
+                      f", rpool {rpool})")
     elif variant:
         raise SystemExit(f"unknown STVO_BENCH_VARIANT={variant}")
 

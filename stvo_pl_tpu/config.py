@@ -181,6 +181,25 @@ class VOConfig:
     lbd_long_samples: int = 8
     # number of discrete line orientations scanned by the dense detector
     lsd_n_dirs: int = 12
+    # multi-octave (lsd_octaves > 1) tuning — models/frame.py
+    # detect_lines_octaves.  oct_pool oversizes the canvas detection pool
+    # (pool = round(line_capacity * oct_pool)) so MORE candidates pass
+    # refine + NFA validation before the final capacity is selected by
+    # LEVEL-0 length; 1.5 is the stamps-parity lever (head-to-head matrix
+    # in BASELINE.md round 5: 1.0x pool 0.0458, 1.5x 0.0384 vs reference
+    # 0.0417).  oct_l0_samples is the along-line sample count of the
+    # level-0 precision re-refine of coarse-octave survivors (the pass
+    # that cleans the mapped-back 2^o-px position noise off the bench ATE
+    # lanes).
+    lsd_oct_pool: float = 1.5
+    lsd_oct_l0_samples: int = 16
+    # right-eye detection pool factor (0 = same as lsd_oct_pool).  The
+    # right eye's lines only feed stereo matching + the disparity
+    # intersection (never the f2f residual or BA), so its candidate pool
+    # can stay capacity-sized while the left keeps the 1.5x
+    # coverage-selection pool — the refine/NFA/merge work scales with the
+    # pool.  See BASELINE.md round-5 A/B before changing the default.
+    lsd_oct_pool_right: float = 0.0
     # sub-pixel point localization (ops/subpix.py): Foerstner/cornerSubPix
     # corner refinement on the ORB patches, and photometric parabola
     # refinement of the matched stereo disparity.  The reference has no

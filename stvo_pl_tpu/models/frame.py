@@ -405,7 +405,8 @@ def _octave_layout(shapes: list[tuple], gap: int = 16):
     return regs, (Hc, Wc)
 
 
-def detect_lines_octaves(im: jnp.ndarray, min_line_length, cfg: VOConfig):
+def detect_lines_octaves(im: jnp.ndarray, min_line_length, cfg: VOConfig,
+                         pool: float | None = None):
     """One-pass multi-octave line detection + octave-correct LBD.
 
     Rebuilds the vendored library's full multi-octave surface
@@ -463,14 +464,24 @@ def detect_lines_octaves(im: jnp.ndarray, min_line_length, cfg: VOConfig):
     # Stamps head-to-head: cap-sized pool 0.0458, cap-sized pool with
     # level-0-fair membership ranking 0.0453 (not the lever), 1.5x pool
     # 0.0384 (vs reference 0.0417).
-    det_cap = cap + cap // 2 if n_oct > 1 else cap
+    if pool is None:
+        pool = cfg.lsd_oct_pool
+    det_cap = (int(round(cap * pool)) if n_oct > 1 else cap)
+    det_cap = max(det_cap, cap)
+    # raw-run pool sized by CONTENT (octave pixels / level-0 pixels,
+    # ~1.31x for ratio-2 pyramids), not by the oversized det_cap — the
+    # number of detectable runs scales with pixels, and the O(K^2) merge
+    # traffic with the pool's square
+    content = sum(h * w for (h, w) in (i.shape for i in imgs))
+    kt = max(int(round(2 * cap * content / float(H0 * W0))),
+             det_cap + cap // 2)
     segs, ang_c, mag_c = lsd.detect_line_segments(
         canvas, min_line_length, capacity=det_cap,
         n_dirs=cfg.lsd_n_dirs, ang_th_deg=cfg.lsd_ang_th,
         quant=cfg.lsd_quant, density_th=cfg.lsd_density_th,
         refine=not cfg.use_fld_lines,
         log_eps=(cfg.lsd_log_eps if cfg.lsd_refine >= 2 else 0.0),
-        valid_mask=jnp.asarray(interior), with_field=True)
+        valid_mask=jnp.asarray(interior), with_field=True, k_total=kt)
 
     # region -> octave attribution by midpoint, then region-local coords
     y0s = jnp.asarray([r[0] for r in regs], jnp.int32)
@@ -522,7 +533,7 @@ def detect_lines_octaves(im: jnp.ndarray, min_line_length, cfg: VOConfig):
         mag0 = mag_c[:H0, :W0]
         sp_r, ep_r, _, _, _ = lsd._refine_segments(
             ang0, mag0, sp_c[:, 0], sp_c[:, 1], ep_c[:, 0], ep_c[:, 1],
-            do_ref, tol, n_samples=16, search=3)
+            do_ref, tol, n_samples=cfg.lsd_oct_l0_samples, search=3)
         upd = do_ref[:, None]
         sp0 = sp0.at[ci].set(jnp.where(upd, jnp.clip(sp_r, 0.0, lim), sp_c))
         ep0 = ep0.at[ci].set(jnp.where(upd, jnp.clip(ep_r, 0.0, lim), ep_c))
@@ -604,7 +615,7 @@ def extract_stereo_features(img_l: jnp.ndarray, img_r: jnp.ndarray,
         points = empty_points(cfg.point_capacity)
 
     if cfg.has_lines:
-        def detect_one(im, lite=False):
+        def detect_one(im, lite=False, right=False):
             if cfg.use_edlines:
                 from stvo_pl_tpu.ops.edline import detect_edlines
                 f = max(1, int(cfg.edline_scale))
@@ -642,8 +653,10 @@ def extract_stereo_features(img_l: jnp.ndarray, img_r: jnp.ndarray,
                         angle=jnp.arctan2(d0[:, 1], d0[:, 0]),
                         length=jnp.linalg.norm(d0, axis=-1))
             elif cfg.lsd_octaves > 1:
+                pool = (cfg.lsd_oct_pool_right
+                        if right and cfg.lsd_oct_pool_right > 0 else None)
                 segs, octv, desc_b = detect_lines_octaves(
-                    im, min_line_length, cfg)
+                    im, min_line_length, cfg, pool=pool)
                 return segs, desc_b, octv
             else:
                 segs = detect_lines_scaled(im, min_line_length, cfg,
@@ -655,8 +668,8 @@ def extract_stereo_features(img_l: jnp.ndarray, img_r: jnp.ndarray,
         # overlaps the two independent chains; folding them into batch-8
         # launches measured 253 -> 203 fps
         segs_l, ldesc_l, octv_l = detect_one(img_l)
-        segs_r, ldesc_r, _ = detect_one(img_r,
-                                        lite=cfg.lsd_right_lite)
+        segs_r, ldesc_r, _ = detect_one(img_r, lite=cfg.lsd_right_lite,
+                                        right=True)
         lines = match_stereo_lines(segs_l, ldesc_l, segs_r, ldesc_r, cam,
                                    cfg, level_l=octv_l, tp=tp)
     else:

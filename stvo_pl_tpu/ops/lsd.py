@@ -434,7 +434,7 @@ def _suppress_duplicates(sp, ep, resp, valid, perp_tol: float,
 @functools.partial(jax.jit, static_argnames=(
     "capacity", "n_dirs", "k_per_dir", "ang_th_deg", "quant", "density_th",
     "sigma", "refine", "log_eps", "refine_samples", "refine_search",
-    "with_field"))
+    "with_field", "k_total"))
 def detect_line_segments(
     img: jnp.ndarray,
     min_length: float,
@@ -451,6 +451,7 @@ def detect_line_segments(
     refine_search: int = 2,
     valid_mask: jnp.ndarray | None = None,
     with_field: bool = False,
+    k_total: int | None = None,
 ) -> LineSegments:
     """Full dense line-segment detection on one grayscale image [H, W].
 
@@ -491,7 +492,13 @@ def detect_line_segments(
                                    endpoint=False)).astype(int)
         steps = [DIR_STEPS[i] for i in idx]
 
-    k_total = max(2 * capacity, 256)
+    # raw-run candidate pool fed to the O(K^2) merges: wide enough that
+    # the fragments of off-bin lines survive to be reassembled.  The
+    # merge/dedup HBM traffic scales with k_total^2, so callers whose
+    # capacity is NOT proportional to image content (the multi-octave
+    # canvas: 1.5x capacity over only 1.31x pixels) pass their own.
+    if k_total is None:
+        k_total = max(2 * capacity, 256)
     if jax.default_backend() == "tpu":
         # ONE kernel launch for all directions: XLA packs the per-direction
         # alignment masks into an i32 bitmask image; the kernel keeps it

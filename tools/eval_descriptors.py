@@ -139,7 +139,11 @@ def detect_lines_octaves3(img):
     import jax.numpy as jnp
     from stvo_pl_tpu.config import VOConfig
     from stvo_pl_tpu.models.frame import detect_lines_octaves
-    cfg = VOConfig(lsd_nfeatures=128, lsd_octaves=3)
+    import os
+    cfg = VOConfig(lsd_nfeatures=128, lsd_octaves=3,
+                   lsd_n_dirs=int(os.environ.get("STVO_EVAL_NDIRS", "12")),
+                   lsd_oct_pool=float(os.environ.get("STVO_EVAL_POOL",
+                                                     "1.5")))
     segs, _, _ = detect_lines_octaves(jnp.asarray(img, jnp.float32),
                                       jnp.float32(0.04 * min(img.shape)),
                                       cfg)
