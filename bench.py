@@ -46,8 +46,12 @@ def main():
     # bench the heavier full config)
     cam = cam_ops.StereoCamera(fx=718.856, fy=718.856, cx=613.0, cy=185.0,
                                b=0.5372, width=1226, height=370)
-    cfg = VOConfig()  # reference defaults: 1200 ORB x 4 levels, 300 lines
-    cfg_label = "reference defaults (1200 ORB x4 levels + 300 lines)"
+    # shipping defaults: 1200 ORB x 4 levels, 300 lines via the 3-octave
+    # one-pass atlas detector (round 5: the one config at reference
+    # accuracy on every headline scene; lsd_octaves=1 is the 315-fps
+    # speed mode, bench variant "dense")
+    cfg = VOConfig()
+    cfg_label = "shipping defaults (1200 ORB x4 + 300 lines, 3-octave LSD)"
     # A/B variants for perf work (driver runs the default: no env set)
     variant = os.environ.get("STVO_BENCH_VARIANT", "")
     if variant == "edline2":
@@ -67,15 +71,19 @@ def main():
         cfg_label += " + 2-octave LSD"
     elif variant == "octaves3":
         cfg = cfg.replace(lsd_octaves=3)
-        cfg_label += " + 3-octave LSD"
+        cfg_label += " (octaves3 == default since round 5)"
+    elif variant == "dense":
+        cfg = cfg.replace(lsd_octaves=1)
+        cfg_label = ("single-octave dense LSD speed mode "
+                     "(the pre-round-5 default)")
     elif variant.startswith("octexp:"):
         # perf-experiment grid: octexp:<pool>:<l0_samples>:<n_dirs>[:<rpool>]
         parts = variant.split(":")[1:]
         pool, l0s, nd = parts[:3]
         rpool = float(parts[3]) if len(parts) > 3 else 0.0
         cfg = cfg.replace(lsd_octaves=3, lsd_oct_pool=float(pool),
-                          lsd_oct_l0_samples=int(l0s), lsd_n_dirs=int(nd),
-                          lsd_oct_pool_right=rpool)
+                          lsd_oct_l0_samples=int(l0s),
+                          lsd_oct_n_dirs=int(nd), lsd_oct_pool_right=rpool)
         cfg_label += (f" + 3-octave LSD (pool {pool}, l0s {l0s}, dirs {nd}"
                       f", rpool {rpool})")
     elif variant:

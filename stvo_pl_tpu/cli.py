@@ -65,8 +65,13 @@ def build_argparser() -> argparse.ArgumentParser:
                     metavar="M",
                     help="per-window trust gate: skip any BA window whose "
                          "refined poses move more than M meters from the "
-                         "window's input poses (corrupted-track defense; "
-                         "rotations are gated at 5 deg alongside)")
+                         "window's input poses (corrupted-track defense)")
+    ap.add_argument("--ba-max-rot-correction", type=float, default=15.0,
+                    metavar="DEG",
+                    help="rotation arm of the per-window trust gate "
+                         "[degrees]; legitimate windows ask for a few "
+                         "degrees on rotation-jittery scenes, corrupted "
+                         "line tracks for tens")
     ap.add_argument("--ba-anchor-only", action="store_true",
                     help="restrict BA landmarks to the window's anchor "
                          "keyframe (legacy builder; default unions tracks "
@@ -145,6 +150,7 @@ def main(argv=None):
                              use_lines=not args.ba_no_lines,
                              auto_lines=not args.ba_forced_lines,
                              max_correction=args.ba_max_correction,
+                             max_rot_correction=args.ba_max_rot_correction,
                              max_disagree_t=args.ba_line_trust_tol,
                              max_disagree_r=4.0 * args.ba_line_trust_tol)
     poses = []

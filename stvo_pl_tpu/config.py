@@ -117,10 +117,18 @@ class VOConfig:
     # 3rdparty/.../LSDDetector_custom.cpp:56-73,259-308): Gaussian pyramid
     # with ratio 2, per-octave detect + per-octave LBD gradients, endpoints
     # rescaled to octave 0.  The reference StVO always calls octaves=1
-    # (src/stereoFrame.cpp:230); >1 exposes the vendored library's full
-    # surface and detects long off-bin lines the full-res dense detector
-    # fragments (EVAL.md §2).
-    lsd_octaves: int = 1
+    # (src/stereoFrame.cpp:230); >1 runs the one-pass ATLAS formulation
+    # (models/frame.py detect_lines_octaves) that detects the long
+    # off-bin lines the full-res dense detector fragments.
+    #
+    # DEFAULT 3 since round 5 — the single shipping config now holds the
+    # reference-parity north star on BOTH headline scenes at once
+    # (stamps 0.0384 vs reference 0.0417; textured60 0.016-0.018 vs
+    # reference 0.0121 where the dense TPU path degrades to 0.17) at
+    # 222 fps/chip, bench ATE 0.0255 with clean lanes.  Set 1 for the
+    # 315-fps single-octave speed mode (EVAL.md §1 documents its
+    # accuracy trade).
+    lsd_octaves: int = 3
     lsd_quant: float = 2.0
     lsd_ang_th: float = 22.5         # gradient angle tolerance [deg]
     lsd_log_eps: float = 1.0
@@ -200,6 +208,16 @@ class VOConfig:
     # coverage-selection pool — the refine/NFA/merge work scales with the
     # pool.  See BASELINE.md round-5 A/B before changing the default.
     lsd_oct_pool_right: float = 0.0
+    # direction-bin count for the CANVAS detector in octave mode (the
+    # single-octave dense path keeps lsd_n_dirs); 0 = inherit lsd_n_dirs.
+    # 8 bins measured faster (+10 fps at bench, ATE equal) AND more
+    # repeatable than 12 on photo warps (scale0.8 0.427 vs 0.194, persp
+    # 0.38 vs 0.245, bright 0.558 vs 0.335 — fewer cross-bin duplicate
+    # runs leave pool room for more distinct physical lines) but COSTS
+    # STAMPS head-to-head accuracy (0.0384 -> 0.0421 vs reference
+    # 0.0417, round-5 A/B) — the reference-parity north star keeps the
+    # default at 12; set 8 for throughput/repeatability-bound uses.
+    lsd_oct_n_dirs: int = 0
     # sub-pixel point localization (ops/subpix.py): Foerstner/cornerSubPix
     # corner refinement on the ORB patches, and photometric parabola
     # refinement of the matched stereo disparity.  The reference has no

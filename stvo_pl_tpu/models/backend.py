@@ -39,7 +39,7 @@ class WindowedBA:
                  window: int = 4, n_iters: int = 8,
                  force_kf_every: int = 0, multi_anchor: bool = True,
                  use_lines: bool = True, max_correction: float = 1.0,
-                 max_rot_correction: float = 5.0, auto_lines: bool = True,
+                 max_rot_correction: float = 15.0, auto_lines: bool = True,
                  chi2_tol: float = 1.10, max_disagree_t: float = 0.25,
                  max_disagree_r: float = 1.0):
         self.cam = cam
@@ -68,6 +68,14 @@ class WindowedBA:
         # SKIPPED — raw poses kept, chain undisturbed.  The rotation gate
         # exists because a rotation-only corruption passes a
         # translation-only gate yet pollutes the cumulative chain.
+        # Sizing (round 5): jittery-but-legitimate VO rotation error runs
+        # ~1 deg/frame on the textured 1000-frame scene, so a 40-frame
+        # window legitimately asks for multi-degree rotation fixes — a
+        # 5-deg gate skipped 40/67 windows there and LOST 6 m of refined
+        # drift (8.88 vs 2.8 m); corrupted line-track windows request
+        # tens of degrees.  15 deg separates the two populations; the
+        # line-specific corruption is caught earlier by the auto_lines
+        # points-vs-joint disagreement test anyway.
         self.max_correction = max_correction
         self.max_rot_correction = max_rot_correction
         self.n_skipped = 0

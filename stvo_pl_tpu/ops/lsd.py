@@ -200,15 +200,22 @@ def _candidates_from_packed_multi(packed: jnp.ndarray, steps, k_total: int,
     pooled = jax.lax.reduce_window(packed, 0, jax.lax.max,
                                    (1, 1, tile), (1, 1, tile), "VALID")
     Wt = Wp // tile
-    flat = pooled.reshape(-1)
-    k = min(k_total, flat.size)
+    # PER-DIRECTION quotas, not one global pool: a global length-ranked
+    # top-k lets one direction family swamp the candidate set on
+    # direction-anisotropic natural texture (horizontal texture rows
+    # crowd out everything else), starving the pose optimizer of
+    # geometric diversity — the round-5 textured60 head-to-head lost
+    # 12x ATE to exactly this (0.1655 vs 0.0134 for the per-direction
+    # CPU path on identical frames).  Mirror the CPU path: k/D per
+    # direction here, then the caller's downstream length prune.
     # packed values < 2^24, exact in f32; TPU-native partial reduction
     # instead of a full sort (see ops/fast_kernel.select_from_packed)
-    topf, pos = jax.lax.approx_max_k(flat.astype(jnp.float32), k,
-                                     recall_target=0.95)
-    top = topf.astype(jnp.int32)
-    d = pos // (Ht * Wt)
-    rem = pos % (Ht * Wt)
+    flatd = pooled.reshape(D, Ht * Wt).astype(jnp.float32)
+    kd = max(min(k_total // D, Ht * Wt), 1)
+    topf, posd = jax.lax.approx_max_k(flatd, kd, recall_target=0.95)
+    top = topf.astype(jnp.int32).reshape(-1)
+    d = jnp.repeat(jnp.arange(D, dtype=jnp.int32), kd)
+    rem = posd.reshape(-1)
     fm = top // 64
     idx = 63 - (top % 64)
     ys = ((rem // Wt) * tile + idx // 8).astype(jnp.float32)

@@ -218,8 +218,18 @@ def make_world(seed: int = 0, length: float = 120.0, half_width: float = 9.0,
     n_box = max(6, int(round(6 * sf)))
     for k in range(n_box):
         z = 14.0 + k * (L - 20.0) / n_box + rng.uniform(-3, 3)
-        x = rng.uniform(-half_width + 1.5, half_width - 3.5)
+        # keep the drive corridor CLEAR: the camera sways +-0.3 m around
+        # x = 0 and the right eye rides another +0.54 m out, so a box
+        # whose x-interval crosses ~[-0.9, 0.9] puts an eye INSIDE the
+        # quad as the camera passes its z — one garbage frame, zero
+        # stereo-consistent features, a full-motion coasting error
+        # (found round 5: textured60 frame 39, right eye only).  Boxes
+        # draw from a side band with >=1.6 m clearance instead.
         w = rng.uniform(1.5, 3.0)
+        if rng.uniform() < 0.5:
+            x = rng.uniform(-half_width + 1.5, -2.5 - w)
+        else:
+            x = rng.uniform(2.5, half_width - 3.5)
         h = rng.uniform(1.2, 2.4)
         quads.append(Quad(
             np.array([x, cam_height - 0.05, z]),

@@ -141,7 +141,7 @@ def detect_lines_octaves3(img):
     from stvo_pl_tpu.models.frame import detect_lines_octaves
     import os
     cfg = VOConfig(lsd_nfeatures=128, lsd_octaves=3,
-                   lsd_n_dirs=int(os.environ.get("STVO_EVAL_NDIRS", "12")),
+                   lsd_oct_n_dirs=int(os.environ.get("STVO_EVAL_NDIRS", "8")),
                    lsd_oct_pool=float(os.environ.get("STVO_EVAL_POOL",
                                                      "1.5")))
     segs, _, _ = detect_lines_octaves(jnp.asarray(img, jnp.float32),
@@ -221,6 +221,11 @@ def line_repeatability(sp1, ep1, sp2, ep2, H, tol=4.0, ang_tol=np.pi / 18):
 
 def main():
     import cv2
+    import jax
+    # force CPU even under the axon site hook (JAX_PLATFORMS env is
+    # silently ignored once the hook pre-imports jax — this eval must
+    # never contend for the TPU chip; see CLAUDE.md)
+    jax.config.update("jax_platforms", "cpu")
     from stvo_pl_tpu.utils.world import load_photos
     photos = [p for p in load_photos() if min(p.shape) >= 128]
     print(f"{len(photos)} real photos")

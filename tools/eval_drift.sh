@@ -41,6 +41,7 @@ for scene in $SCENES; do
         echo "=== $scene $mode -> $log"
         # shellcheck disable=SC2086
         timeout 3600 python -m stvo_pl_tpu.cli "$d" --quiet \
+            ${DRIFT_CFG:+-c "$DRIFT_CFG"} \
             --gt "$d/gt_kitti.txt" $flags > "$log" 2>&1
         grep -E "ATE|RPE|refined" "$log" | tail -6
     done

@@ -32,6 +32,10 @@ CAP = 128
 
 
 def main():
+    import jax
+    # force CPU under the axon site hook (env JAX_PLATFORMS is ignored
+    # once the hook pre-imports jax); this eval must not touch the chip
+    jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     from stvo_pl_tpu.ops import hamming, lbd, lsd, matching
     from stvo_pl_tpu.ops.image import sobel
