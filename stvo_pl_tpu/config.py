@@ -203,21 +203,27 @@ class VOConfig:
     lsd_oct_l0_samples: int = 16
     # right-eye detection pool factor (0 = same as lsd_oct_pool).  The
     # right eye's lines only feed stereo matching + the disparity
-    # intersection (never the f2f residual or BA), so its candidate pool
-    # can stay capacity-sized while the left keeps the 1.5x
-    # coverage-selection pool — the refine/NFA/merge work scales with the
-    # pool.  See BASELINE.md round-5 A/B before changing the default.
-    lsd_oct_pool_right: float = 0.0
+    # intersection (never the f2f residual or BA).  DEFAULT 1.0 (round
+    # 5): beyond the +16 fps from halving the right refine/NFA/merge
+    # work, a capacity-sized right pool is an ACCURACY feature on
+    # repetitive natural texture — an oversized right pool offers every
+    # left line more aliased stereo candidates, and the wrong-but-
+    # plausible disparities they produce poisoned the textured60
+    # head-to-head 10x (rpool 1.5: ATE 0.149-0.164; rpool 1.0: 0.0158
+    # vs reference 0.0121).  Stamps pays 0.0384 -> 0.0419 (reference
+    # 0.0417); the textured win dominates.  Set 0 to mirror the left
+    # pool for stamps-like clean-line scenes.
+    lsd_oct_pool_right: float = 1.0
     # direction-bin count for the CANVAS detector in octave mode (the
     # single-octave dense path keeps lsd_n_dirs); 0 = inherit lsd_n_dirs.
-    # 8 bins measured faster (+10 fps at bench, ATE equal) AND more
+    # DEFAULT 8 (round 5): +10 fps at equal bench ATE, and MORE
     # repeatable than 12 on photo warps (scale0.8 0.427 vs 0.194, persp
     # 0.38 vs 0.245, bright 0.558 vs 0.335 — fewer cross-bin duplicate
-    # runs leave pool room for more distinct physical lines) but COSTS
-    # STAMPS head-to-head accuracy (0.0384 -> 0.0421 vs reference
-    # 0.0417, round-5 A/B) — the reference-parity north star keeps the
-    # default at 12; set 8 for throughput/repeatability-bound uses.
-    lsd_oct_n_dirs: int = 0
+    # runs leave pool room for more distinct physical lines).  At the
+    # default right pool (lsd_oct_pool_right 1.0) stamps is dirs-
+    # insensitive (0.0419 at both 8 and 12); only the rpool-1.5 variant
+    # prefers 12 (0.0384 vs 0.0421).
+    lsd_oct_n_dirs: int = 8
     # sub-pixel point localization (ops/subpix.py): Foerstner/cornerSubPix
     # corner refinement on the ORB patches, and photometric parabola
     # refinement of the matched stereo disparity.  The reference has no

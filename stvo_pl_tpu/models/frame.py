@@ -468,12 +468,15 @@ def detect_lines_octaves(im: jnp.ndarray, min_line_length, cfg: VOConfig,
         pool = cfg.lsd_oct_pool
     det_cap = (int(round(cap * pool)) if n_oct > 1 else cap)
     det_cap = max(det_cap, cap)
-    # NOTE on the raw-run pool (k_total): a content-scaled pool
-    # (2*cap*1.31 ~ 786 instead of 2*det_cap = 900) measured fps-NEUTRAL
-    # on the TPU bench (239.1 vs 238.4 at rpool=1.0) — the O(K^2) merge
-    # traffic is not a bottleneck at these sizes — so the default stays
-    # the detector's own 2*capacity and the shipped default graph is
-    # exactly the measured one (BASELINE.md round 5).
+    # raw-run pool sized by CONTENT (octave pixels / level-0 pixels,
+    # ~1.31x for ratio-2 pyramids) rather than 2x the (possibly
+    # oversized) detection capacity: the number of detectable runs
+    # scales with pixels.  Measured fps-neutral vs 2*det_cap (239.1 vs
+    # 238.4, BASELINE.md round 5) and part of every shipped-default
+    # measurement (stamps 0.0419, textured60 0.0158, bench 249.5 fps).
+    content = sum(h * w for (h, w) in (i.shape for i in imgs))
+    kt = max(int(round(2 * cap * content / float(H0 * W0))),
+             det_cap + cap // 2)
     oct_dirs = cfg.lsd_oct_n_dirs if cfg.lsd_oct_n_dirs > 0 else cfg.lsd_n_dirs
     segs, ang_c, mag_c = lsd.detect_line_segments(
         canvas, min_line_length, capacity=det_cap,
@@ -481,7 +484,7 @@ def detect_lines_octaves(im: jnp.ndarray, min_line_length, cfg: VOConfig,
         quant=cfg.lsd_quant, density_th=cfg.lsd_density_th,
         refine=not cfg.use_fld_lines,
         log_eps=(cfg.lsd_log_eps if cfg.lsd_refine >= 2 else 0.0),
-        valid_mask=jnp.asarray(interior), with_field=True)
+        valid_mask=jnp.asarray(interior), with_field=True, k_total=kt)
 
     # region -> octave attribution by midpoint, then region-local coords
     y0s = jnp.asarray([r[0] for r in regs], jnp.int32)

@@ -202,12 +202,12 @@ def _candidates_from_packed_multi(packed: jnp.ndarray, steps, k_total: int,
     Wt = Wp // tile
     # PER-DIRECTION quotas, not one global pool: a global length-ranked
     # top-k lets one direction family swamp the candidate set on
-    # direction-anisotropic natural texture (horizontal texture rows
-    # crowd out everything else), starving the pose optimizer of
-    # geometric diversity — the round-5 textured60 head-to-head lost
-    # 12x ATE to exactly this (0.1655 vs 0.0134 for the per-direction
-    # CPU path on identical frames).  Mirror the CPU path: k/D per
-    # direction here, then the caller's downstream length prune.
+    # direction-anisotropic natural texture, and it made the TPU path's
+    # candidate set structurally DIFFERENT from the CPU path's
+    # (per-direction k_per_dir quotas) — CPU/TPU now select the same
+    # way.  Round-5 measurements: bench fps/ATE neutral; the octave
+    # default's textured60 accuracy is governed by the right-eye pool
+    # (config.lsd_oct_pool_right), not by this.
     # packed values < 2^24, exact in f32; TPU-native partial reduction
     # instead of a full sort (see ops/fast_kernel.select_from_packed)
     flatd = pooled.reshape(D, Ht * Wt).astype(jnp.float32)

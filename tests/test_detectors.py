@@ -290,7 +290,9 @@ def test_inert_key_warnings():
         assert any("lsd_right_lite" in str(x.message) for x in w)
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
-        config_from_mapping({"lsd_right_lite": True})
+        # single-octave dense mode: right_lite is a real knob, no warning
+        # (under the octave DEFAULT it is inert and must warn — above)
+        config_from_mapping({"lsd_right_lite": True, "lsd_octaves": 1})
         assert not any("lsd_right_lite" in str(x.message) for x in w)
 
 
