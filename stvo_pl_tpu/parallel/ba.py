@@ -22,8 +22,14 @@ Math (classic Schur BA, shaped for TPU):
   * normal equations split into pose blocks Hpp (6x6 per pose), landmark
     blocks Hll (3x3 per landmark/endpoint, block diagonal), coupling U_ik;
   * the reduced camera system S = Hpp - U Hll^{-1} U^T is dense [6K, 6K] —
-    tiny (K <= 32) — while everything landmark-indexed is embarrassingly
-    parallel over i;
+    tiny — while everything landmark-indexed is embarrassingly parallel
+    over i.  MEASURED window sizes (round 5, corridor 1000-frame CLI):
+    K=4 compiles in ~24 s and refines at 0.10 s/window; K=8 ~39 s / 0.23;
+    K=16 ~152 s / 0.53 (the K*Np landmark slots and K^2/2 pairwise track
+    matching grow the graph).  K=4-8 is the supported envelope; larger K
+    also buys nothing at the production keyframe cadence (EVAL.md §3
+    round-5 table: cross-KF tracks over ~30+-frame baselines mostly fail
+    the trust gates);
   * distribution: shard landmarks over the mesh's data axis with shard_map;
     each device reduces its partial S and rhs, one psum produces the global
     reduced system, every device solves it redundantly (cheaper than a

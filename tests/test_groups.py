@@ -16,7 +16,14 @@ from stvo_pl_tpu.utils import synthetic
 CAM = cam_ops.StereoCamera(fx=160.0, fy=160.0, cx=120.0, cy=90.0,
                            b=0.3, width=240, height=180)
 CFG_PL = VOConfig(orb_nfeatures=300, orb_nlevels=2, lsd_nfeatures=48,
-                  lsd_n_dirs=8, min_features=8, fast_feat_th=20)
+                  lsd_n_dirs=8, min_features=8, fast_feat_th=20,
+                  # single-octave detector: this test's subject is group
+                  # placement, and the tiny 240x180 / 48-line scene is
+                  # below the octave default's useful size (the canvas
+                  # splits a 48-slot pool over 3 octaves and the
+                  # capacity-sized right pool leaves too few stereo
+                  # candidates — 1 match vs 6 single-octave, measured)
+                  lsd_octaves=1)
 CFG_P = dataclasses.replace(CFG_PL, has_lines=False)
 
 
