@@ -200,22 +200,24 @@ def _candidates_from_packed_multi(packed: jnp.ndarray, steps, k_total: int,
     pooled = jax.lax.reduce_window(packed, 0, jax.lax.max,
                                    (1, 1, tile), (1, 1, tile), "VALID")
     Wt = Wp // tile
-    # PER-DIRECTION quotas, not one global pool: a global length-ranked
-    # top-k lets one direction family swamp the candidate set on
-    # direction-anisotropic natural texture, and it made the TPU path's
-    # candidate set structurally DIFFERENT from the CPU path's
-    # (per-direction k_per_dir quotas) — CPU/TPU now select the same
-    # way.  Round-5 measurements: bench fps/ATE neutral; the octave
-    # default's textured60 accuracy is governed by the right-eye pool
-    # (config.lsd_oct_pool_right), not by this.
+    # ONE global metric-ranked pool across directions — measured round 5
+    # as the RIGHT design and re-adopted after a falsified experiment:
+    # per-direction quotas (k/D each, mirroring the CPU fallback path)
+    # were tried against the textured-scene dense-path degradation and
+    # (a) did not move it (0.1655 -> 0.1653), (b) HURT the octave
+    # default (stamps 0.0419 -> 0.0458, textured60 0.0158 -> 0.1625 —
+    # reserving canvas slots per direction starves the directions that
+    # actually carry the scene's lines).  The true textured lever is the
+    # right-eye pool (config.lsd_oct_pool_right).
+    flat = pooled.reshape(-1)
+    k = min(k_total, flat.size)
     # packed values < 2^24, exact in f32; TPU-native partial reduction
     # instead of a full sort (see ops/fast_kernel.select_from_packed)
-    flatd = pooled.reshape(D, Ht * Wt).astype(jnp.float32)
-    kd = max(min(k_total // D, Ht * Wt), 1)
-    topf, posd = jax.lax.approx_max_k(flatd, kd, recall_target=0.95)
-    top = topf.astype(jnp.int32).reshape(-1)
-    d = jnp.repeat(jnp.arange(D, dtype=jnp.int32), kd)
-    rem = posd.reshape(-1)
+    topf, pos = jax.lax.approx_max_k(flat.astype(jnp.float32), k,
+                                     recall_target=0.95)
+    top = topf.astype(jnp.int32)
+    d = pos // (Ht * Wt)
+    rem = pos % (Ht * Wt)
     fm = top // 64
     idx = 63 - (top % 64)
     ys = ((rem // Wt) * tile + idx // 8).astype(jnp.float32)
